@@ -1,0 +1,264 @@
+// Chunk-parallel binary arithmetic coder (precision-16) over int16-normalized CDFs.
+//
+// TPU-native equivalent of the reference's CUDA `arithmetic` extension
+// (HAC/submodules/arithmetic.zip: arithmetic_kernel.cu:94-163 encode,
+// :237-356 decode) and of torchac's encode/decode_int16_normalized_cdf:
+// probability evaluation happens on the TPU (XLA) and produces the
+// normalized uint16 CDF table; this library performs only the inherently
+// serial bit-emit/bit-consume, parallelized across independent
+// fixed-size symbol chunks with std::thread (structurally identical to
+// the reference's one-CUDA-thread-per-chunk design, but on host cores).
+//
+// CDF convention (shared with gauspcc_tpu.core.cdf.normalize_cdf_int16):
+//   cdf_u16[i][s] = round(cdf_float[i][s] * (2^16 - (Lp-1))) + s   for s < Lp-1
+//   the implicit top of the range for the last symbol is 2^16.
+// Rows are strictly monotonically increasing, so every symbol has
+// nonzero probability mass. The last column (s = Lp-1) is never read.
+//
+// C ABI only; bound from Python via ctypes (gauspcc_tpu/ops/coder.py).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kPrecision = 16;
+constexpr uint64_t kCdfTop = 1ull << kPrecision;
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t len = 0;
+  uint8_t cache = 0;
+  uint8_t count = 0;
+
+  inline void append(int bit) {
+    cache = static_cast<uint8_t>((cache << 1) | bit);
+    if (++count == 8) {
+      out[len++] = cache;
+      count = 0;
+      cache = 0;
+    }
+  }
+  inline void append_with_pending(int bit, uint64_t& pending) {
+    append(bit);
+    while (pending > 0) {
+      append(!bit);
+      --pending;
+    }
+  }
+  inline void flush() {
+    while (count != 0) append(0);
+  }
+};
+
+struct BitReader {
+  const uint8_t* in;
+  int64_t len;
+  int64_t ptr = 0;
+  uint8_t cache = 0;
+  uint8_t cached_bits = 0;
+
+  inline void get(uint32_t& value) {
+    if (cached_bits == 0) {
+      if (ptr == len) {
+        value <<= 1;
+        return;
+      }
+      cache = in[ptr++];
+      cached_bits = 8;
+    }
+    value <<= 1;
+    value |= (cache >> (cached_bits - 1)) & 1u;
+    --cached_bits;
+  }
+  inline void initialize(uint32_t& value) {
+    for (int i = 0; i < 32; ++i) get(value);
+  }
+};
+
+// Encode symbols [begin, end) of one chunk. cdf is row-major [N, Lp] uint16.
+int64_t encode_chunk(const uint16_t* cdf, const int16_t* sym, int64_t begin,
+                     int64_t end, int Lp, uint8_t* out) {
+  const int max_symbol = Lp - 2;
+  BitWriter w{out};
+  uint32_t low = 0;
+  uint32_t high = 0xFFFFFFFFu;
+  uint64_t pending = 0;
+
+  for (int64_t i = begin; i < end; ++i) {
+    const int s = sym[i];
+    const uint16_t* row = cdf + i * Lp;
+    const uint64_t span = static_cast<uint64_t>(high) - low + 1;
+    const uint64_t c_low = row[s];
+    const uint64_t c_high = (s == max_symbol) ? kCdfTop : row[s + 1];
+
+    high = static_cast<uint32_t>((low - 1) + ((span * c_high) >> kPrecision));
+    low = static_cast<uint32_t>(low + ((span * c_low) >> kPrecision));
+
+    while (true) {
+      if (high < 0x80000000u) {
+        w.append_with_pending(0, pending);
+        low <<= 1;
+        high = (high << 1) | 1u;
+      } else if (low >= 0x80000000u) {
+        w.append_with_pending(1, pending);
+        low <<= 1;
+        high = (high << 1) | 1u;
+      } else if (low >= 0x40000000u && high < 0xC0000000u) {
+        ++pending;
+        low = (low << 1) & 0x7FFFFFFFu;
+        high = (high << 1) | 0x80000001u;
+      } else {
+        break;
+      }
+    }
+  }
+
+  ++pending;
+  if (low < 0x40000000u) {
+    w.append_with_pending(0, pending);
+  } else {
+    w.append_with_pending(1, pending);
+  }
+  w.flush();
+  return w.len;
+}
+
+void decode_chunk(const uint16_t* cdf, const uint8_t* in, int64_t in_len,
+                  int64_t begin, int64_t end, int Lp, int16_t* out_sym) {
+  const int max_symbol = Lp - 2;
+  BitReader r{in, in_len};
+  uint32_t low = 0;
+  uint32_t high = 0xFFFFFFFFu;
+  uint32_t value = 0;
+  r.initialize(value);
+
+  for (int64_t i = begin; i < end; ++i) {
+    const uint16_t* row = cdf + i * Lp;
+    const uint64_t span = static_cast<uint64_t>(high) - low + 1;
+    const uint16_t target = static_cast<uint16_t>(
+        ((static_cast<uint64_t>(value) - low + 1) * kCdfTop - 1) / span);
+
+    // Binary search: largest s in [0, max_symbol] with row[s] <= target,
+    // mirroring the reference binsearch (arithmetic_kernel.cu:278-300).
+    int left = 0;
+    int right = max_symbol + 1;
+    while (left + 1 < right) {
+      const int m = (left + right) / 2;
+      const uint16_t v = row[m];
+      if (v < target) {
+        left = m;
+      } else if (v > target) {
+        right = m;
+      } else {
+        left = m;
+        break;
+      }
+    }
+    const int s = left;
+    out_sym[i] = static_cast<int16_t>(s);
+
+    const uint64_t c_low = row[s];
+    const uint64_t c_high = (s == max_symbol) ? kCdfTop : row[s + 1];
+    high = static_cast<uint32_t>((low - 1) + ((span * c_high) >> kPrecision));
+    low = static_cast<uint32_t>(low + ((span * c_low) >> kPrecision));
+
+    while (true) {
+      if (low >= 0x80000000u || high < 0x80000000u) {
+        low <<= 1;
+        high = (high << 1) | 1u;
+        r.get(value);
+      } else if (low >= 0x40000000u && high < 0xC0000000u) {
+        low = (low << 1) & 0x7FFFFFFFu;
+        high = (high << 1) | 0x80000001u;
+        value -= 0x40000000u;
+        r.get(value);
+      } else {
+        break;
+      }
+    }
+  }
+}
+
+void parallel_for_chunks(int64_t n_chunks, int n_threads,
+                         const std::function<void(int64_t)>& fn) {
+  if (n_threads <= 1 || n_chunks <= 1) {
+    for (int64_t c = 0; c < n_chunks; ++c) fn(c);
+    return;
+  }
+  std::vector<std::thread> workers;
+  std::atomic<int64_t> next{0};
+  const int n = static_cast<int>(std::min<int64_t>(n_threads, n_chunks));
+  workers.reserve(n);
+  for (int t = 0; t < n; ++t) {
+    workers.emplace_back([&]() {
+      while (true) {
+        const int64_t c = next.fetch_add(1);
+        if (c >= n_chunks) return;
+        fn(c);
+      }
+    });
+  }
+  for (auto& w : workers) w.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Per-chunk worst case output bytes (matches the reference's chunk_size*4
+// bound, arithmetic_kernel.cu: out_cache_all = zeros({chunk_num, chunk_size*4}),
+// plus slack for the final flush).
+int64_t ac_max_chunk_bytes(int64_t chunk_size) { return chunk_size * 4 + 16; }
+
+// Encode N symbols with row-wise CDFs.
+//   cdf:        [N, Lp] uint16 normalized CDF rows
+//   sym:        [N] int16 symbols in [0, Lp-2]
+//   chunk_size: symbols per independent chunk
+//   out:        [n_chunks * ac_max_chunk_bytes(chunk_size)] scratch; chunk c
+//               writes at offset c * ac_max_chunk_bytes(chunk_size)
+//   chunk_lens: [n_chunks] output byte counts
+// Returns total bytes across chunks (or -1 on bad args).
+int64_t ac_encode(const uint16_t* cdf, int64_t N, int32_t Lp,
+                  const int16_t* sym, int64_t chunk_size, int32_t n_threads,
+                  uint8_t* out, int64_t* chunk_lens) {
+  if (N < 0 || Lp < 2 || chunk_size <= 0) return -1;
+  if (N == 0) return 0;
+  const int64_t n_chunks = (N + chunk_size - 1) / chunk_size;
+  const int64_t stride = ac_max_chunk_bytes(chunk_size);
+  parallel_for_chunks(n_chunks, n_threads, [&](int64_t c) {
+    const int64_t begin = c * chunk_size;
+    const int64_t end = std::min<int64_t>(begin + chunk_size, N);
+    chunk_lens[c] = encode_chunk(cdf, sym, begin, end, Lp, out + c * stride);
+  });
+  int64_t total = 0;
+  for (int64_t c = 0; c < n_chunks; ++c) total += chunk_lens[c];
+  return total;
+}
+
+// Decode N symbols. `in` is the concatenation of chunk byte streams with
+// lengths `chunk_lens` (as produced by packing ac_encode output).
+int32_t ac_decode(const uint16_t* cdf, int64_t N, int32_t Lp,
+                  const uint8_t* in, const int64_t* chunk_lens,
+                  int64_t chunk_size, int32_t n_threads, int16_t* out_sym) {
+  if (N < 0 || Lp < 2 || chunk_size <= 0) return -1;
+  if (N == 0) return 0;
+  const int64_t n_chunks = (N + chunk_size - 1) / chunk_size;
+  std::vector<int64_t> offsets(n_chunks + 1, 0);
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    offsets[c + 1] = offsets[c] + chunk_lens[c];
+  }
+  parallel_for_chunks(n_chunks, n_threads, [&](int64_t c) {
+    const int64_t begin = c * chunk_size;
+    const int64_t end = std::min<int64_t>(begin + chunk_size, N);
+    decode_chunk(cdf, in + offsets[c], chunk_lens[c], begin, end, Lp, out_sym);
+  });
+  return 0;
+}
+
+}  // extern "C"

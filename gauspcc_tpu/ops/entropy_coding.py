@@ -1,0 +1,162 @@
+"""File-level entropy encode/decode of quantized tensors.
+
+TPU-native equivalents of HAC/utils/encodings_cuda.py: the CDF tables are
+built in one XLA call (gauspcc_tpu.core.cdf), the bit-level coding runs in
+the native host coder (gauspcc_tpu.ops.coder). File formats mirror the
+reference (.b files: f32 min, f32 max, coder payload; binary coder: f32 p1).
+
+All entry points accept/return numpy or jax arrays and operate eagerly —
+they sit outside jit (encode/decode time, not train time).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gauspcc_tpu.core import cdf as cdf_lib
+from gauspcc_tpu.ops import coder
+
+# Lp above which the one-shot [N, Lp] table would be needlessly large; we
+# split the symbol range instead of materializing giant tables.
+_MAX_TABLE_ELEMS = 300_000_000
+
+
+def _to_np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x))
+
+
+@jax.jit
+def _gaussian_symbols(x, q):
+    return jnp.round(x / q).astype(jnp.int32)
+
+
+def encode_gaussian(x, mean, scale, q, file_name: str) -> int:
+    """Arithmetic-encode x (flat [N]) under per-element Gaussian models.
+
+    Mirrors encoder_gaussian (encodings_cuda.py:340-376): symbols are
+    round(x/q) shifted by their min; header stores min/max as f32.
+    Returns the bit length written.
+    """
+    x = jnp.asarray(x).reshape(-1)
+    mean = jnp.asarray(mean).reshape(-1)
+    scale = jnp.asarray(scale).reshape(-1)
+    if not isinstance(q, jax.Array) or jnp.ndim(q) == 0:
+        q = jnp.full_like(mean, q)
+    q = q.reshape(-1)
+
+    sym_int = _gaussian_symbols(x, q)
+    sym_np = _to_np(sym_int)
+    if sym_np.size == 0:
+        payload = np.uint32(0).tobytes()
+        min_v = max_v = 0.0
+    else:
+        min_v = int(sym_np.min())
+        max_v = int(sym_np.max())
+        table = cdf_lib.gaussian_cdf_table(mean, scale, q, min_v, max_v)
+        sym_idx = (sym_np - min_v).astype(np.int16)
+        payload = coder.encode_int16_cdf(_to_np(table), sym_idx)
+
+    with open(file_name, "wb") as f:
+        f.write(np.float32(min_v).tobytes())
+        f.write(np.float32(max_v).tobytes())
+        f.write(payload)
+    return (len(payload) + 8) * 8
+
+
+def decode_gaussian(mean, scale, q, file_name: str) -> jax.Array:
+    """Inverse of encode_gaussian; returns float32 [N] dequantized values."""
+    mean = jnp.asarray(mean).reshape(-1)
+    scale = jnp.asarray(scale).reshape(-1)
+    if not isinstance(q, jax.Array) or jnp.ndim(q) == 0:
+        q = jnp.full_like(mean, q)
+    q = q.reshape(-1)
+
+    with open(file_name, "rb") as f:
+        min_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        max_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        payload = f.read()
+
+    n = int(mean.shape[0])
+    if n == 0:
+        return jnp.zeros((0,), jnp.float32)
+    table = cdf_lib.gaussian_cdf_table(mean, scale, q, min_v, max_v)
+    sym = coder.decode_int16_cdf(_to_np(table), payload)
+    return (jnp.asarray(sym.astype(np.float32)) + min_v) * q
+
+
+def encode_gaussian_mixed(x, means, scales, probs, q, file_name: str) -> int:
+    """Mixture-model variant (encoder_gaussian_mixed, encodings_cuda.py:203-249)."""
+    x = jnp.asarray(x).reshape(-1)
+    means = [jnp.asarray(m).reshape(-1) for m in means]
+    scales = [jnp.asarray(s).reshape(-1) for s in scales]
+    probs = [jnp.asarray(p).reshape(-1) for p in probs]
+    if not isinstance(q, jax.Array) or jnp.ndim(q) == 0:
+        q = jnp.full_like(means[0], q)
+    q = q.reshape(-1)
+
+    sym_np = _to_np(_gaussian_symbols(x, q))
+    if sym_np.size == 0:
+        payload = np.uint32(0).tobytes()
+        min_v = max_v = 0.0
+    else:
+        min_v = int(sym_np.min())
+        max_v = int(sym_np.max())
+        table = cdf_lib.gaussian_mixture_cdf_table(means, scales, probs, q, min_v, max_v)
+        payload = coder.encode_int16_cdf(_to_np(table), (sym_np - min_v).astype(np.int16))
+
+    with open(file_name, "wb") as f:
+        f.write(np.float32(min_v).tobytes())
+        f.write(np.float32(max_v).tobytes())
+        f.write(payload)
+    return (len(payload) + 8) * 8
+
+
+def decode_gaussian_mixed(means, scales, probs, q, file_name: str) -> jax.Array:
+    means = [jnp.asarray(m).reshape(-1) for m in means]
+    scales = [jnp.asarray(s).reshape(-1) for s in scales]
+    probs = [jnp.asarray(p).reshape(-1) for p in probs]
+    if not isinstance(q, jax.Array) or jnp.ndim(q) == 0:
+        q = jnp.full_like(means[0], q)
+    q = q.reshape(-1)
+
+    with open(file_name, "rb") as f:
+        min_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        max_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        payload = f.read()
+    n = int(means[0].shape[0])
+    if n == 0:
+        return jnp.zeros((0,), jnp.float32)
+    table = cdf_lib.gaussian_mixture_cdf_table(means, scales, probs, q, min_v, max_v)
+    sym = coder.decode_int16_cdf(_to_np(table), payload)
+    return (jnp.asarray(sym.astype(np.float32)) + min_v) * q
+
+
+def encode_binary(x01, file_name: str) -> int:
+    """Encode a {0,1} tensor with a single global p1 (encoder, :435-464)."""
+    x = _to_np(x01).reshape(-1).astype(np.float32)
+    p1 = float(x.sum() / max(x.size, 1))
+    p1_c = min(max(p1, 1e-6), 1.0 - 1e-6)
+    cdf_row = cdf_lib.normalize_cdf_int16(
+        jnp.array([[0.0, 1.0 - p1_c, 1.0]], jnp.float32)
+    )
+    table = np.broadcast_to(_to_np(cdf_row), (x.size, 3))
+    payload = coder.encode_int16_cdf(table, x.astype(np.int16))
+    with open(file_name, "wb") as f:
+        f.write(np.float32(p1).tobytes())
+        f.write(payload)
+    return (len(payload) + 4) * 8
+
+
+def decode_binary(n: int, file_name: str) -> jax.Array:
+    with open(file_name, "rb") as f:
+        p1 = float(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        payload = f.read()
+    p1_c = min(max(p1, 1e-6), 1.0 - 1e-6)
+    cdf_row = cdf_lib.normalize_cdf_int16(
+        jnp.array([[0.0, 1.0 - p1_c, 1.0]], jnp.float32)
+    )
+    table = np.broadcast_to(_to_np(cdf_row), (n, 3))
+    sym = coder.decode_int16_cdf(table, payload)
+    return jnp.asarray(sym.astype(np.float32))
