@@ -69,6 +69,33 @@ def gaussian_cdf_table(
     return normalize_cdf_int16(cdf)
 
 
+def gaussian_cdf_table_residual(
+    mean: jax.Array,
+    scale: jax.Array,
+    q: jax.Array,
+    rmin: int,
+    rmax: int,
+) -> jax.Array:
+    """Residual-centered discretized-Gaussian CDF table.
+
+    Rate-identical reindexing of :func:`gaussian_cdf_table` (a TPU-side
+    optimization over the reference layout): symbols are residuals
+    r = round(x/q) - round(mean/q), so the table's column range covers only
+    the residual spread (a few sigma) instead of the global value range.
+    Both encoder and decoder compute offset = round(mean/q) from the shared
+    entropy model, so the format stays self-contained.
+
+    Returns uint16 [N, Lp] with Lp = rmax - rmin + 2.
+    """
+    lp = int(rmax) - int(rmin) + 2
+    scale = jnp.maximum(scale, 1e-9)
+    offset = jnp.round(mean / q)
+    samples = (offset[:, None] + jnp.arange(lp, dtype=jnp.float32) + (rmin - 0.5)) * q[:, None]
+    cdf = gaussian_cdf(samples, mean[:, None], scale[:, None])
+    cdf = jnp.clip(cdf, 0.0, 1.0)
+    return normalize_cdf_int16(cdf)
+
+
 def gaussian_mixture_cdf_table(
     means: list[jax.Array],
     scales: list[jax.Array],
@@ -80,6 +107,35 @@ def gaussian_mixture_cdf_table(
     """Mixture-of-Gaussians CDF table (HAC++ path, encodings_cuda.py:203-226)."""
     lp = int(max_value) - int(min_value) + 2
     samples = (jnp.arange(lp, dtype=jnp.float32) + (min_value - 0.5)) * q[:, None]
+    acc = jnp.zeros((q.shape[0], lp), dtype=jnp.float32)
+    for mean, scale, prob in zip(means, scales, probs):
+        scale = jnp.maximum(scale, 1e-9)
+        acc = acc + prob[:, None] * gaussian_cdf(samples, mean[:, None], scale[:, None])
+    acc = jnp.clip(acc, 0.0, 1.0)
+    return normalize_cdf_int16(acc)
+
+
+def mixture_center(means: list[jax.Array], probs: list[jax.Array], q: jax.Array) -> jax.Array:
+    """Deterministic per-element center for residual mixture coding:
+    round(sum_k p_k mean_k / q). Shared by encoder and decoder."""
+    m = jnp.zeros_like(means[0])
+    for mean, prob in zip(means, probs):
+        m = m + prob * mean
+    return jnp.round(m / q)
+
+
+def gaussian_mixture_cdf_table_residual(
+    means: list[jax.Array],
+    scales: list[jax.Array],
+    probs: list[jax.Array],
+    q: jax.Array,
+    rmin: int,
+    rmax: int,
+) -> jax.Array:
+    """Residual-centered mixture CDF table (see gaussian_cdf_table_residual)."""
+    lp = int(rmax) - int(rmin) + 2
+    offset = mixture_center(means, probs, q)
+    samples = (offset[:, None] + jnp.arange(lp, dtype=jnp.float32) + (rmin - 0.5)) * q[:, None]
     acc = jnp.zeros((q.shape[0], lp), dtype=jnp.float32)
     for mean, scale, prob in zip(means, scales, probs):
         scale = jnp.maximum(scale, 1e-9)

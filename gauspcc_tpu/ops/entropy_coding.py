@@ -28,15 +28,18 @@ def _to_np(x) -> np.ndarray:
 
 
 @jax.jit
-def _gaussian_symbols(x, q):
-    return jnp.round(x / q).astype(jnp.int32)
+def _gaussian_residuals(x, mean, q):
+    return (jnp.round(x / q) - jnp.round(mean / q)).astype(jnp.int32)
 
 
 def encode_gaussian(x, mean, scale, q, file_name: str) -> int:
     """Arithmetic-encode x (flat [N]) under per-element Gaussian models.
 
-    Mirrors encoder_gaussian (encodings_cuda.py:340-376): symbols are
-    round(x/q) shifted by their min; header stores min/max as f32.
+    Functional parity with encoder_gaussian (encodings_cuda.py:340-376),
+    but symbols are mean-centered residuals r = round(x/q) - round(mean/q)
+    (a rate-identical reindexing), so the per-row CDF table covers only the
+    residual spread — typically 10-100x fewer columns than the reference's
+    global [min, max] layout. Header stores f32 rmin/rmax.
     Returns the bit length written.
     """
     x = jnp.asarray(x).reshape(-1)
@@ -46,21 +49,20 @@ def encode_gaussian(x, mean, scale, q, file_name: str) -> int:
         q = jnp.full_like(mean, q)
     q = q.reshape(-1)
 
-    sym_int = _gaussian_symbols(x, q)
-    sym_np = _to_np(sym_int)
-    if sym_np.size == 0:
+    res_np = _to_np(_gaussian_residuals(x, mean, q))
+    if res_np.size == 0:
         payload = np.uint32(0).tobytes()
-        min_v = max_v = 0.0
+        rmin = rmax = 0.0
     else:
-        min_v = int(sym_np.min())
-        max_v = int(sym_np.max())
-        table = cdf_lib.gaussian_cdf_table(mean, scale, q, min_v, max_v)
-        sym_idx = (sym_np - min_v).astype(np.int16)
+        rmin = int(res_np.min())
+        rmax = int(res_np.max())
+        table = cdf_lib.gaussian_cdf_table_residual(mean, scale, q, rmin, rmax)
+        sym_idx = (res_np - rmin).astype(np.int16)
         payload = coder.encode_int16_cdf(_to_np(table), sym_idx)
 
     with open(file_name, "wb") as f:
-        f.write(np.float32(min_v).tobytes())
-        f.write(np.float32(max_v).tobytes())
+        f.write(np.float32(rmin).tobytes())
+        f.write(np.float32(rmax).tobytes())
         f.write(payload)
     return (len(payload) + 8) * 8
 
@@ -74,20 +76,21 @@ def decode_gaussian(mean, scale, q, file_name: str) -> jax.Array:
     q = q.reshape(-1)
 
     with open(file_name, "rb") as f:
-        min_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
-        max_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        rmin = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        rmax = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
         payload = f.read()
 
     n = int(mean.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.float32)
-    table = cdf_lib.gaussian_cdf_table(mean, scale, q, min_v, max_v)
+    table = cdf_lib.gaussian_cdf_table_residual(mean, scale, q, rmin, rmax)
     sym = coder.decode_int16_cdf(_to_np(table), payload)
-    return (jnp.asarray(sym.astype(np.float32)) + min_v) * q
+    return (jnp.asarray(sym.astype(np.float32)) + rmin + jnp.round(mean / q)) * q
 
 
 def encode_gaussian_mixed(x, means, scales, probs, q, file_name: str) -> int:
-    """Mixture-model variant (encoder_gaussian_mixed, encodings_cuda.py:203-249)."""
+    """Mixture-model variant (parity: encoder_gaussian_mixed,
+    encodings_cuda.py:203-249), residual-centered on the prob-weighted mean."""
     x = jnp.asarray(x).reshape(-1)
     means = [jnp.asarray(m).reshape(-1) for m in means]
     scales = [jnp.asarray(s).reshape(-1) for s in scales]
@@ -96,19 +99,22 @@ def encode_gaussian_mixed(x, means, scales, probs, q, file_name: str) -> int:
         q = jnp.full_like(means[0], q)
     q = q.reshape(-1)
 
-    sym_np = _to_np(_gaussian_symbols(x, q))
-    if sym_np.size == 0:
+    center = cdf_lib.mixture_center(means, probs, q)
+    res_np = _to_np(jnp.round(x / q).astype(jnp.int32) - center.astype(jnp.int32))
+    if res_np.size == 0:
         payload = np.uint32(0).tobytes()
-        min_v = max_v = 0.0
+        rmin = rmax = 0.0
     else:
-        min_v = int(sym_np.min())
-        max_v = int(sym_np.max())
-        table = cdf_lib.gaussian_mixture_cdf_table(means, scales, probs, q, min_v, max_v)
-        payload = coder.encode_int16_cdf(_to_np(table), (sym_np - min_v).astype(np.int16))
+        rmin = int(res_np.min())
+        rmax = int(res_np.max())
+        table = cdf_lib.gaussian_mixture_cdf_table_residual(
+            means, scales, probs, q, rmin, rmax
+        )
+        payload = coder.encode_int16_cdf(_to_np(table), (res_np - rmin).astype(np.int16))
 
     with open(file_name, "wb") as f:
-        f.write(np.float32(min_v).tobytes())
-        f.write(np.float32(max_v).tobytes())
+        f.write(np.float32(rmin).tobytes())
+        f.write(np.float32(rmax).tobytes())
         f.write(payload)
     return (len(payload) + 8) * 8
 
@@ -122,15 +128,16 @@ def decode_gaussian_mixed(means, scales, probs, q, file_name: str) -> jax.Array:
     q = q.reshape(-1)
 
     with open(file_name, "rb") as f:
-        min_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
-        max_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        rmin = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        rmax = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
         payload = f.read()
     n = int(means[0].shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.float32)
-    table = cdf_lib.gaussian_mixture_cdf_table(means, scales, probs, q, min_v, max_v)
+    table = cdf_lib.gaussian_mixture_cdf_table_residual(means, scales, probs, q, rmin, rmax)
     sym = coder.decode_int16_cdf(_to_np(table), payload)
-    return (jnp.asarray(sym.astype(np.float32)) + min_v) * q
+    center = cdf_lib.mixture_center(means, probs, q)
+    return (jnp.asarray(sym.astype(np.float32)) + rmin + center) * q
 
 
 def encode_binary(x01, file_name: str) -> int:
