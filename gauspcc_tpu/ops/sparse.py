@@ -1,0 +1,258 @@
+"""Sparse voxel-hierarchy ops, designed for XLA static shapes.
+
+TPU-native replacements for the reference's torchsparse + kit/nn.py stack:
+
+  - lexicographic coordinate sorts == GausPcgc/kit/op.py:6-30 (sort_C /
+    sort_CF; batch-major, then z, y, x) and HAC/utils/pcc_utils.py:12-22
+    (calculate_morton_order — despite the name, a lexicographic sort with
+    z most significant).
+  - occupancy pyramid (FOG) == GausPcgc/kit/nn.py:25-55: parent voxel =
+    child >> 1, occupancy byte = OR of 2^(x%2 + 2*y%2 + 4*z%2).
+  - child expansion (FCG) == kit/nn.py:58-98: 1->8 expansion masked by
+    occupancy bits.
+  - submanifold sparse convolution == torchsparse spnn.Conv3d(stride=1):
+    implemented as neighbor-map gather + grouped matmuls (implicit GEMM)
+    so the MXU sees [N, G*Cin] x [G*Cin, Cout] contractions. Neighbor maps
+    are built on device with a vectorized multi-lane binary search over
+    lex-sorted int32 coordinates (no 64-bit keys: JAX x64 stays off and
+    TPUs prefer 32-bit lanes), and are reused across every conv that
+    shares the same coords.
+
+All device functions take fixed-capacity (padded) arrays plus a validity
+mask, so jit traces once per bucket size. Pyramid construction runs on
+host (numpy) — it is cheap integer work and inherently data-dependent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_I32_MAX = np.iinfo(np.int32).max
+
+
+# ---------------------------------------------------------------------------
+# Keys and sorting
+# ---------------------------------------------------------------------------
+
+def lex_key_np(coords: np.ndarray, dims) -> np.ndarray:
+    """Host-side int64 key, z most significant: ((z*Y + y)*X + x)."""
+    c = coords.astype(np.int64)
+    return (c[:, 2] * int(dims[1]) + c[:, 1]) * int(dims[0]) + c[:, 0]
+
+
+def morton_order_np(xyz: np.ndarray) -> np.ndarray:
+    """Sorted indices reproducing calculate_morton_order (pcc_utils.py:12-22):
+    min-shift, then argsort of x + y*(M+1) + z*(M+1)^2 with M = global max."""
+    x = np.asarray(xyz).astype(np.int64)
+    x = x - x.min(axis=0, keepdims=True)
+    m = int(x.max()) + 1
+    key = x @ np.power(m, np.arange(3, dtype=np.int64))
+    return np.argsort(key, kind="stable")
+
+
+def lex_sort(coords: jax.Array, mask: jax.Array) -> jax.Array:
+    """Permutation putting valid coords in (z, y, x) lex order, padding last."""
+    z = jnp.where(mask, coords[:, 2], _I32_MAX)
+    y = jnp.where(mask, coords[:, 1], _I32_MAX)
+    x = jnp.where(mask, coords[:, 0], _I32_MAX)
+    return jnp.lexsort((x, y, z))
+
+
+# ---------------------------------------------------------------------------
+# Occupancy pyramid (host, numpy)
+# ---------------------------------------------------------------------------
+
+def build_occupancy_pyramid(coords: np.ndarray, min_points: int = 64):
+    """Dyadic downscale until fewer than `min_points` parents remain.
+
+    coords: non-negative int [N, 3], unique voxels.
+    Returns levels coarse->fine: list of (parent_coords int32 [Ni,3],
+    occupancy uint8 [Ni]), each sorted in lex order (z major). The finest
+    entry's children reconstruct the input; mirrors the data_ls built in
+    Network.forward (network_ue_4stage_conv.py:104-111) but stores the
+    parent of each level rather than a SparseTensor.
+    """
+    coords = np.asarray(coords)
+    assert coords.ndim == 2 and coords.shape[1] == 3
+    assert coords.min() >= 0, "shift coordinates to be non-negative first"
+    levels = []
+    cur = coords.astype(np.int64)
+    while True:
+        parent = cur >> 1
+        octant = (cur[:, 0] & 1) + 2 * (cur[:, 1] & 1) + 4 * (cur[:, 2] & 1)
+        dims = parent.max(axis=0) + 1
+        pkey = lex_key_np(parent, (dims[0], dims[1]))
+        uniq_key, inv = np.unique(pkey, return_inverse=True)
+        occ = np.zeros(uniq_key.shape[0], dtype=np.uint8)
+        np.bitwise_or.at(occ, inv, (1 << octant).astype(np.uint8))
+        # recover unique parent coords in key order (any occurrence works)
+        first = np.zeros(uniq_key.shape[0], dtype=np.int64)
+        first[inv] = np.arange(cur.shape[0])
+        pcoords = parent[first].astype(np.int32)
+        levels.append((pcoords, occ))
+        cur = pcoords.astype(np.int64)
+        if cur.shape[0] < min_points or cur.shape[0] <= 1:
+            break
+    return levels[::-1]
+
+
+# ---------------------------------------------------------------------------
+# FCG: occupancy -> children (device, static shapes)
+# ---------------------------------------------------------------------------
+
+# Octant o = dx + 2*dy + 4*dz (kit/nn.py:64-75).
+_OCTANT_OFFSETS = np.stack(
+    [np.array([o & 1, (o >> 1) & 1, (o >> 2) & 1]) for o in range(8)]
+).astype(np.int32)
+
+
+def fcg_expand(coords: jax.Array, occ: jax.Array, mask: jax.Array):
+    """Expand parents to their occupied children.
+
+    coords [N,3] int32, occ [N] int (0..255), mask [N] bool ->
+    child_coords [N*8, 3], child_mask [N*8], octant [N*8] int32,
+    parent_index [N*8] int32 (row of the parent each child came from).
+    Children of parent i occupy rows 8i..8i+7 in octant order; callers
+    lex-sort afterwards (as the reference does with sort_CF).
+    """
+    n = coords.shape[0]
+    offs = jnp.asarray(_OCTANT_OFFSETS)  # [8, 3]
+    child = coords[:, None, :] * 2 + offs[None, :, :]  # [N, 8, 3]
+    octant = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32)[None, :], (n, 8))
+    bits = (occ[:, None].astype(jnp.int32) >> octant) & 1
+    child_mask = (bits == 1) & mask[:, None]
+    parent_index = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, 8)
+    )
+    return (
+        child.reshape(-1, 3),
+        child_mask.reshape(-1),
+        octant.reshape(-1),
+        parent_index.reshape(-1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neighbor maps + sparse convolution
+# ---------------------------------------------------------------------------
+
+def kernel_offsets(kernel_size: int) -> np.ndarray:
+    """[K^3, 3] integer offsets in (x fastest) scan order, centered."""
+    r = np.arange(kernel_size) - kernel_size // 2
+    zz, yy, xx = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3).astype(np.int32)
+
+
+class NeighborMap(NamedTuple):
+    """Gather indices for one (query coords, source coords) pair.
+
+    idx: [K3, Nq] int32 — row into the source features for each kernel
+    offset, 0 where invalid.
+    valid: [K3, Nq] bool.
+    """
+
+    idx: jax.Array
+    valid: jax.Array
+
+
+def _lex_less(az, ay, ax, bz, by, bx):
+    """(az,ay,ax) < (bz,by,bx) lexicographically, elementwise."""
+    return (az < bz) | ((az == bz) & ((ay < by) | ((ay == by) & (ax < bx))))
+
+
+@partial(jax.jit, static_argnames=("kernel_size",))
+def build_neighbor_map(
+    coords_q: jax.Array,
+    mask_q: jax.Array,
+    coords_s: jax.Array,
+    mask_s: jax.Array,
+    kernel_size: int,
+) -> NeighborMap:
+    """Vectorized 3-lane lexicographic binary search neighbor lookup.
+
+    For every query voxel and kernel offset, finds the source row whose
+    coordinates equal query+offset (or marks a miss). Pure int32: no
+    64-bit keys, no coordinate-extent assumptions, negative coords fine.
+    """
+    k3 = kernel_size ** 3
+    nq = coords_q.shape[0]
+    ns = coords_s.shape[0]
+    offs = jnp.asarray(kernel_offsets(kernel_size))  # [K3, 3]
+
+    order = lex_sort(coords_s, mask_s)
+    s_sorted = coords_s[order]
+    # invalidate padded rows so no query can match them
+    sz = jnp.where(mask_s[order], s_sorted[:, 2], _I32_MAX)
+    sy = jnp.where(mask_s[order], s_sorted[:, 1], _I32_MAX)
+    sx = jnp.where(mask_s[order], s_sorted[:, 0], _I32_MAX)
+
+    q = (coords_q[:, None, :] + offs[None, :, :]).reshape(-1, 3)  # [Nq*K3, 3]
+    qz, qy, qx = q[:, 2], q[:, 1], q[:, 0]
+
+    # lower_bound via bitwise binary search (n rounded to next pow2)
+    n_bits = max(1, int(np.ceil(np.log2(max(ns, 2)))))
+    lo = jnp.zeros(q.shape[0], jnp.int32)
+    for b in range(n_bits - 1, -1, -1):
+        cand = lo + (1 << b)
+        in_b = cand <= ns
+        probe = jnp.clip(cand - 1, 0, ns - 1)
+        less = _lex_less(sz[probe], sy[probe], sx[probe], qz, qy, qx)
+        lo = jnp.where(in_b & less, cand, lo)
+
+    probe = jnp.clip(lo, 0, ns - 1)
+    found = (
+        (sz[probe] == qz) & (sy[probe] == qy) & (sx[probe] == qx) & (lo < ns)
+    )
+    found = found & jnp.repeat(mask_q, k3, total_repeat_length=nq * k3)
+    idx = jnp.where(found, order[probe], 0).astype(jnp.int32)
+    return NeighborMap(
+        idx=idx.reshape(nq, k3).T,
+        valid=found.reshape(nq, k3).T,
+    )
+
+
+def sparse_conv_apply(
+    feats: jax.Array,
+    nmap: NeighborMap,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+    group: int = 8,
+) -> jax.Array:
+    """Apply a submanifold sparse conv given a prebuilt neighbor map.
+
+    feats: [Ns, Cin] source features.
+    weight: [K3, Cin, Cout]; bias: [Cout].
+    Offsets are processed in groups of `group` so each step is one
+    [Nq, group*Cin] x [group*Cin, Cout] MXU contraction.
+    """
+    k3, cin, cout = weight.shape
+    nq = nmap.idx.shape[1]
+    g = group
+    n_groups = (k3 + g - 1) // g
+    pad = n_groups * g - k3
+
+    idx = jnp.pad(nmap.idx, ((0, pad), (0, 0)))
+    valid = jnp.pad(nmap.valid, ((0, pad), (0, 0)))
+    w = jnp.pad(weight, ((0, pad), (0, 0), (0, 0)))
+
+    idx = idx.reshape(n_groups, g, nq)
+    valid = valid.reshape(n_groups, g, nq)
+    w = w.reshape(n_groups, g * cin, cout)
+
+    def body(acc, args):
+        idx_g, valid_g, w_g = args  # [g, Nq], [g, Nq], [g*Cin, Cout]
+        gathered = feats[idx_g]  # [g, Nq, Cin]
+        gathered = jnp.where(valid_g[:, :, None], gathered, 0.0)
+        x = gathered.transpose(1, 0, 2).reshape(nq, g * cin)
+        return acc + jnp.dot(x, w_g, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((nq, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (idx, valid, w))
+    if bias is not None:
+        out = out + bias
+    return out
