@@ -1,0 +1,247 @@
+"""GausPcgc occupancy-context network in JAX (functional, pytree params).
+
+Architecture parity with the reference 4-stage unequal-bit occupancy
+predictor (GausPcgc/network_ue_4stage_conv.py:11-181):
+
+  prior_embedding (256 -> C) -> prior_resnet (conv + 2 ResNets) on parent
+  voxels; FCG 1->8 upsample + octant target_embedding -> target_resnet on
+  child voxels; then four stage heads, each preceded by its own 2-conv
+  spatial context network and conditioned on an embedding of the previously
+  (de)coded bits:
+    stage 0: occupancy bit 8      (binary head)
+    stage 1: bit 7                (binary head, cond. on bit 8)
+    stage 2: bits 6-5             (4-way head, cond. on bits 8-7)
+    stage 3: bits 4-1             (16-way head, cond. on bits 8-5)
+
+TPU-first design notes: all shapes static (children capacity = 8x parent
+capacity, masked); both conv stacks reuse one neighbor map per coordinate
+set; convs run as grouped gather-MM (ops/sparse.py). The level forward is
+a single jitted function; decode splits into per-stage jitted functions
+because coded bits must round-trip through the host coder between stages.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gauspcc_tpu.ops import sparse
+
+Params = dict[str, Any]
+
+
+class NetConfig(NamedTuple):
+    """Static (hashable) network configuration, kept out of the params
+    pytree so jit can specialize on it."""
+
+    channels: int = 32
+    kernel_size: int = 5
+
+STAGE_SIZES = (2, 2, 4, 16)  # symbols per stage head
+STAGE_COND = (1, 2, 4, 16)  # embedding table sizes for stages (stage 0 unused)
+
+
+def _dense_init(key, fan_in, fan_out):
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(k1, (fan_in, fan_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(k2, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def _conv_init(key, cin, cout, kernel_size):
+    k3 = kernel_size**3
+    k1, k2 = jax.random.split(key)
+    bound = 1.0 / np.sqrt(cin * k3)
+    return {
+        "w": jax.random.uniform(k1, (k3, cin, cout), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound),
+    }
+
+
+def _resnet_init(key, c, kernel_size):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv0": _conv_init(k1, c, c, kernel_size),
+        "conv1": _conv_init(k2, c, c, kernel_size),
+    }
+
+
+def _conv_stack_init(key, c, kernel_size):
+    """conv + ReLU + ResNet + ResNet (prior_resnet / target_resnet)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv": _conv_init(k1, c, c, kernel_size),
+        "res0": _resnet_init(k2, c, kernel_size),
+        "res1": _resnet_init(k3, c, kernel_size),
+    }
+
+
+def _spatial_init(key, c, kernel_size):
+    """conv + ReLU + conv (spatial_conv_s*)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv0": _conv_init(k1, c, c, kernel_size),
+        "conv1": _conv_init(k2, c, c, kernel_size),
+    }
+
+
+def _head_init(key, c, n_out):
+    k1, k2 = jax.random.split(key)
+    return {"fc0": _dense_init(k1, c, c), "fc1": _dense_init(k2, c, n_out)}
+
+
+def init_params(key, config: NetConfig = NetConfig()) -> Params:
+    channels, kernel_size = config.channels, config.kernel_size
+    keys = jax.random.split(key, 16)
+    params: Params = {
+        "prior_embedding": jax.random.normal(keys[0], (256, channels)) * 1.0,
+        "prior_resnet": _conv_stack_init(keys[1], channels, kernel_size),
+        "target_embedding": jax.random.normal(keys[2], (8, channels)) * 1.0,
+        "target_resnet": _conv_stack_init(keys[3], channels, kernel_size),
+    }
+    for s in range(4):
+        params[f"spatial_s{s}"] = _spatial_init(keys[4 + s], channels, kernel_size)
+        params[f"head_s{s}"] = _head_init(keys[8 + s], channels, STAGE_SIZES[s])
+        if s > 0:
+            params[f"cond_emb_s{s}"] = (
+                jax.random.normal(keys[12 + s], (STAGE_COND[s], channels)) * 1.0
+            )
+    return params
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def _conv(p, feats, nmap):
+    return sparse.sparse_conv_apply(feats, nmap, p["w"], p["b"])
+
+
+def _resnet(p, feats, nmap):
+    h = jax.nn.relu(_conv(p["conv0"], feats, nmap))
+    h = _conv(p["conv1"], h, nmap)
+    return jax.nn.relu(h + feats)
+
+
+def _conv_stack(p, feats, nmap):
+    h = jax.nn.relu(_conv(p["conv"], feats, nmap))
+    h = _resnet(p["res0"], h, nmap)
+    return _resnet(p["res1"], h, nmap)
+
+
+def _spatial(p, feats, nmap):
+    h = jax.nn.relu(_conv(p["conv0"], feats, nmap))
+    return _conv(p["conv1"], h, nmap)
+
+
+def _head(p, feats):
+    h = jax.nn.relu(feats @ p["fc0"]["w"] + p["fc0"]["b"])
+    logits = h @ p["fc1"]["w"] + p["fc1"]["b"]
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def split_occupancy(occ: jax.Array):
+    """Occupancy byte -> the 4 stage ground-truth symbols
+    (network_ue_4stage_conv.py:138-141)."""
+    occ = occ.astype(jnp.int32)
+    s0 = (occ // 128) % 2
+    s1 = (occ // 64) % 2
+    s2 = (occ // 16) % 4
+    s3 = occ % 16
+    return s0, s1, s2, s3
+
+
+def merge_occupancy(s0, s1, s2, s3):
+    """Inverse of split_occupancy (pcc_utils.py:369)."""
+    return s0 * 128 + s1 * 64 + s2 * 16 + s3
+
+
+# ---------------------------------------------------------------------------
+# level forward
+# ---------------------------------------------------------------------------
+
+def level_context(params: Params, config: NetConfig, parent_coords, parent_occ, parent_mask):
+    """Shared parent->child context computation for one pyramid level.
+
+    parent_* arrays are padded to capacity Np. Returns a dict with the
+    sorted child arrays (capacity 8*Np), the child features after
+    target_resnet, and the child neighbor map (reused by all four stages).
+    """
+    k = config.kernel_size
+
+    pf = params["prior_embedding"][jnp.clip(parent_occ.astype(jnp.int32), 0, 255)]
+    pf = jnp.where(parent_mask[:, None], pf, 0.0)
+    p_nmap = sparse.build_neighbor_map(
+        parent_coords, parent_mask, parent_coords, parent_mask, k
+    )
+    pf = _conv_stack(params["prior_resnet"], pf, p_nmap)
+
+    child, child_mask, octant, parent_idx = sparse.fcg_expand(
+        parent_coords, parent_occ, parent_mask
+    )
+    perm = sparse.lex_sort(child, child_mask)
+    child = child[perm]
+    child_mask = child_mask[perm]
+    octant = octant[perm]
+    parent_idx = parent_idx[perm]
+
+    cf = pf[parent_idx] + params["target_embedding"][octant]
+    cf = jnp.where(child_mask[:, None], cf, 0.0)
+    c_nmap = sparse.build_neighbor_map(child, child_mask, child, child_mask, k)
+    cf = _conv_stack(params["target_resnet"], cf, c_nmap)
+
+    return {
+        "child_coords": child,
+        "child_mask": child_mask,
+        "octant": octant,
+        "feats": cf,
+        "nmap": c_nmap,
+    }
+
+
+def stage_probs(params: Params, stage: int, ctx_feats, nmap, prev_sym):
+    """Probabilities for one stage given previously (de)coded symbols.
+
+    prev_sym: int32 [Nc] combined previous bits (0 for stage 0):
+      stage 1: bit8; stage 2: bit8*2+bit7; stage 3: prev*4 + bits65.
+    """
+    f = ctx_feats
+    if stage > 0:
+        table = params[f"cond_emb_s{stage}"]
+        f = f + table[jnp.clip(prev_sym, 0, table.shape[0] - 1)]
+    h = _spatial(params[f"spatial_s{stage}"], f, nmap)
+    return _head(params[f"head_s{stage}"], h)
+
+
+def level_bits(params: Params, config: NetConfig, parent_coords, parent_occ,
+               parent_mask, gt_child_occ):
+    """Training objective for one level: total bits to code the children's
+    occupancy bytes, teacher-forced on ground truth (Network.forward:143-178).
+
+    gt_child_occ: int32 [8*Np] — occupancy of the sorted valid children
+    (padding arbitrary). Returns (total_bits, n_valid_children).
+    """
+    ctx = level_context(params, config, parent_coords, parent_occ, parent_mask)
+    mask = ctx["child_mask"]
+    s0, s1, s2, s3 = split_occupancy(gt_child_occ)
+
+    total = 0.0
+    prev = jnp.zeros_like(s0)
+    for stage, gt in enumerate((s0, s1, s2, s3)):
+        probs = stage_probs(params, stage, ctx["feats"], ctx["nmap"], prev)
+        p = jnp.take_along_axis(probs, gt[:, None], axis=-1)[:, 0]
+        bits = jnp.clip(-jnp.log2(p + 1e-10), 0.0, 50.0)
+        total = total + jnp.sum(jnp.where(mask, bits, 0.0))
+        if stage == 0:
+            prev = gt
+        elif stage == 1:
+            prev = prev * 2 + gt
+        elif stage == 2:
+            prev = prev * 4 + gt
+    return total, jnp.sum(mask)
