@@ -1,0 +1,138 @@
+"""Command-line drivers for the GausPcgc codec.
+
+Parity with the reference CLIs (GausPcgc/compress_ue_4stage_conv.py /
+decompress_ue_4stage_conv.py / train.py): compress a directory or glob of
+point clouds to .bin files with a per-file CSV of bpp/enc-time, decompress
+back to .ply, or train the context model.
+
+Usage:
+  python -m gauspcc_tpu.codecs.gauspcgc.cli compress --input 'clouds/*.ply' \
+      --ckpt model/best_model.npz --output_dir out/
+  python -m gauspcc_tpu.codecs.gauspcgc.cli decompress --input 'out/*.bin' \
+      --ckpt model/best_model.npz --output_dir dec/
+  python -m gauspcc_tpu.codecs.gauspcgc.cli train --training_data 'train/*.ply' \
+      --val_data 'val/*.ply' --model_save_folder model/
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import sys
+from glob import glob
+
+import numpy as np
+import jax
+
+from gauspcc_tpu.codecs.gauspcgc import codec, data, model
+from gauspcc_tpu.codecs.gauspcgc import train as train_lib
+from gauspcc_tpu.utils import checkpoint
+
+
+def _load_params(ckpt: str, cfg: model.NetConfig):
+    template = model.init_params(jax.random.PRNGKey(0), cfg)
+    return checkpoint.load_pytree(ckpt, template)
+
+
+def cmd_compress(args):
+    cfg = model.NetConfig(args.channels, args.kernel_size)
+    params = _load_params(args.ckpt, cfg)
+    os.makedirs(args.output_dir, exist_ok=True)
+    rows = []
+    for path in sorted(glob(args.input)):
+        xyz = data.quantize_cloud(
+            data.read_points(path), args.posQ, args.is_data_pre_quantized
+        )
+        name = os.path.splitext(os.path.basename(path))[0]
+        out_path = os.path.join(args.output_dir, name + ".bin")
+        res = codec.compress_point_cloud(
+            xyz, params, out_path, posQ=1.0, config=cfg
+        )
+        rows.append(
+            dict(file=name, bpp=res["bpp"], enc_time=res["enc_time"],
+                 bits=res["file_size_bits"], num_points=res["num_points"])
+        )
+        print(f"{name}: {res['bpp']:.4f} bpp, {res['enc_time']:.2f}s")
+    csv_path = os.path.join(args.output_dir, "compress_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    mean_bpp = float(np.mean([r["bpp"] for r in rows]))
+    print(f"mean bpp: {mean_bpp:.4f} over {len(rows)} files -> {csv_path}")
+
+
+def cmd_decompress(args):
+    cfg = model.NetConfig(args.channels, args.kernel_size)
+    params = _load_params(args.ckpt, cfg)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for path in sorted(glob(args.input)):
+        name = os.path.splitext(os.path.basename(path))[0]
+        res = codec.decompress_point_cloud(path, params, config=cfg)
+        out_path = os.path.join(args.output_dir, name + ".ply")
+        data.save_ply_ascii_geo(res["point_cloud"], out_path)
+        print(f"{name}: {res['num_points']} pts, {res['dec_time']:.2f}s -> {out_path}")
+
+
+def cmd_train(args):
+    cfg = train_lib.TrainConfig(
+        channels=args.channels,
+        kernel_size=args.kernel_size,
+        learning_rate=args.learning_rate,
+        max_steps=args.max_steps,
+        model_dir=args.model_save_folder,
+    )
+    train_paths = sorted(glob(args.training_data))
+    if not train_paths:
+        sys.exit(f"no training files match {args.training_data}")
+    ds = data.PatchDataset(
+        train_paths, pre_quantized=args.is_data_pre_quantized, seed=cfg.seed
+    )
+    val = None
+    if args.val_data:
+        val = data.WholeCloudDataset(
+            sorted(glob(args.val_data)), pre_quantized=args.is_data_pre_quantized
+        )
+    train_lib.train(cfg, ds, val)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gauspcgc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--channels", type=int, default=32)
+        sp.add_argument("--kernel_size", type=int, default=5)
+        sp.add_argument("--is_data_pre_quantized", action="store_true", default=True)
+
+    c = sub.add_parser("compress")
+    common(c)
+    c.add_argument("--input", required=True, help="glob of point cloud files")
+    c.add_argument("--ckpt", required=True)
+    c.add_argument("--output_dir", required=True)
+    c.add_argument("--posQ", type=float, default=1.0)
+    c.set_defaults(fn=cmd_compress)
+
+    d = sub.add_parser("decompress")
+    common(d)
+    d.add_argument("--input", required=True, help="glob of .bin files")
+    d.add_argument("--ckpt", required=True)
+    d.add_argument("--output_dir", required=True)
+    d.set_defaults(fn=cmd_decompress)
+
+    t = sub.add_parser("train")
+    common(t)
+    t.add_argument("--training_data", required=True)
+    t.add_argument("--val_data", default="")
+    t.add_argument("--model_save_folder", default="./model/gauspcgc")
+    t.add_argument("--learning_rate", type=float, default=5e-4)
+    t.add_argument("--max_steps", type=int, default=110_000)
+    t.set_defaults(fn=cmd_train)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""GausPcgc codec trainer.
+
+Parity with the reference single-GPU loop (GausPcgc/train.py:144-256):
+Adam lr 5e-4 decayed x0.1 at [40k, 90k], 110k steps, batch of KD patches,
+loss = network bpp, periodic validation with best-checkpoint tracking,
+rotating-file + console logging, crash checkpoint dump.
+
+TPU-first structure: per-level loss+grad is one jitted program cached per
+capacity bucket; gradients accumulate across pyramid levels on device and
+one jitted optax update applies them. Multi-chip data parallelism lives in
+gauspcc_tpu/parallel (mean-bpp over per-device patches via shard_map).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from logging.handlers import RotatingFileHandler
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from gauspcc_tpu.codecs.gauspcgc import model
+from gauspcc_tpu.codecs.gauspcgc.codec import _pad_parents, MIN_BASE_POINTS
+from gauspcc_tpu.ops import sparse
+from gauspcc_tpu.utils import checkpoint
+
+
+@dataclass
+class TrainConfig:
+    channels: int = 32
+    kernel_size: int = 5
+    learning_rate: float = 5e-4
+    lr_decay: float = 0.1
+    lr_decay_steps: tuple[int, ...] = (40_000, 90_000)
+    max_steps: int = 110_000
+    val_interval: int = 500
+    log_interval: int = 100
+    seed: int = 11
+    model_dir: str = "./model/gauspcgc"
+
+    @property
+    def net(self) -> model.NetConfig:
+        return model.NetConfig(self.channels, self.kernel_size)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.piecewise_constant_schedule(
+        cfg.learning_rate,
+        {int(s): cfg.lr_decay for s in cfg.lr_decay_steps},
+    )
+    return optax.adam(sched, eps=1e-8)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _level_bits_grad(params, config, pc, po, pm, gt):
+    def f(p):
+        bits, n = model.level_bits(p, config, pc, po, pm, gt)
+        return bits, n
+
+    (bits, n), grads = jax.value_and_grad(f, has_aux=True)(params)
+    return bits, n, grads
+
+
+@jax.jit
+def _accumulate(acc, grads):
+    return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+
+def make_update_fn(optimizer):
+    @jax.jit
+    def update(params, opt_state, grads, inv_n):
+        grads = jax.tree_util.tree_map(lambda g: g * inv_n, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state
+
+    return update
+
+
+def pyramid_batches(xyz_int: np.ndarray):
+    """Host prep: shift, dedupe, pyramid, pad each coded level.
+
+    Yields (pc, po, pm, gt_pad, n_children) per level plus n_points.
+    """
+    xyz0 = np.unique(xyz_int - xyz_int.min(axis=0), axis=0).astype(np.int32)
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+    out = []
+    for d in range(len(levels) - 1):
+        p_coords, p_occ = levels[d]
+        _, gt_occ = levels[d + 1]
+        pc, po, pm = _pad_parents(p_coords, p_occ)
+        gt_pad = np.zeros(pc.shape[0] * 8, np.int32)
+        gt_pad[: gt_occ.shape[0]] = gt_occ
+        out.append((pc, po, pm, jnp.asarray(gt_pad), gt_occ.shape[0]))
+    return out, xyz0.shape[0]
+
+
+def cloud_bits(params, net_cfg, xyz_int: np.ndarray) -> tuple[float, int]:
+    """Teacher-forced total bits for a whole cloud (validation metric)."""
+    batches, n_points = pyramid_batches(xyz_int)
+    total = 0.0
+    for pc, po, pm, gt, _ in batches:
+        bits, _ = model.level_bits(params, net_cfg, pc, po, pm, gt)
+        total += float(bits)
+    return total, n_points
+
+
+def train_step(params, opt_state, update_fn, net_cfg, xyz_int: np.ndarray,
+               zero_grads):
+    """One step on one patch: accumulate level grads, apply Adam update.
+
+    Returns (params, opt_state, bpp).
+    """
+    batches, n_points = pyramid_batches(xyz_int)
+    grads = zero_grads
+    total_bits = 0.0
+    for pc, po, pm, gt, _ in batches:
+        bits, _, g = _level_bits_grad(params, net_cfg, pc, po, pm, gt)
+        grads = _accumulate(grads, g)
+        total_bits += float(bits)
+    params, opt_state = update_fn(
+        params, opt_state, grads, jnp.float32(1.0 / n_points)
+    )
+    return params, opt_state, total_bits / n_points
+
+
+def setup_logger(log_dir: str, name: str = "gauspcgc") -> logging.Logger:
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fh = RotatingFileHandler(
+        os.path.join(log_dir, "train.log"), maxBytes=10 * 1024 * 1024, backupCount=5
+    )
+    ch = logging.StreamHandler()
+    fmt = logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+    fh.setFormatter(fmt)
+    ch.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(ch)
+    return logger
+
+
+def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None):
+    """Full training loop over a PatchDataset; returns trained params.
+
+    dataset: gauspcc_tpu.codecs.gauspcgc.data.PatchDataset
+    """
+    logger = setup_logger(cfg.model_dir)
+    logger.info(f"config: {cfg}")
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init_params(key, cfg.net)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    update_fn = make_update_fn(optimizer)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    steps = max_steps or cfg.max_steps
+    best_val = float("inf")
+    step = 0
+    t0 = time.time()
+    ema_bpp = None
+    try:
+        while step < steps:
+            for idx in dataset.epoch_order():
+                if step >= steps:
+                    break
+                xyz = dataset.sample(idx)
+                params, opt_state, bpp = train_step(
+                    params, opt_state, update_fn, cfg.net, xyz, zero_grads
+                )
+                step += 1
+                ema_bpp = bpp if ema_bpp is None else 0.95 * ema_bpp + 0.05 * bpp
+                if step % cfg.log_interval == 0:
+                    logger.info(
+                        f"step {step} bpp {bpp:.4f} ema {ema_bpp:.4f} "
+                        f"({(time.time()-t0)/step:.3f} s/step)"
+                    )
+                if val_dataset is not None and step % cfg.val_interval == 0:
+                    vb, vn = 0.0, 0
+                    for vi in range(len(val_dataset)):
+                        b, n = cloud_bits(params, cfg.net, val_dataset.get(vi))
+                        vb += b
+                        vn += n
+                    val_bpp = vb / max(vn, 1)
+                    logger.info(f"step {step} val_bpp {val_bpp:.4f}")
+                    if val_bpp < best_val:
+                        best_val = val_bpp
+                        checkpoint.save_pytree(
+                            os.path.join(cfg.model_dir, "best_model.npz"), params
+                        )
+                if step % 10_000 == 0:
+                    checkpoint.save_pytree(
+                        os.path.join(cfg.model_dir, f"ckpt_{step}.npz"), params
+                    )
+    except Exception:
+        # crash dump, mirroring GausPcgc/train.py:237-240
+        checkpoint.save_pytree(
+            os.path.join(cfg.model_dir, f"error_model_{step}.npz"), params
+        )
+        raise
+    checkpoint.save_pytree(os.path.join(cfg.model_dir, "final_model.npz"), params)
+    return params

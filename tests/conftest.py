@@ -5,9 +5,11 @@ the driver's dryrun_multichip does the same. Real-chip benchmarks live in
 bench.py, not here.
 
 The container's sitecustomize registers the remote `axon` TPU PJRT plugin
-and pins jax_platforms to it; initializing that backend dials a tunnel and
-can block for minutes. Tests must never touch it, so we force the platform
-back to cpu AND drop the plugin's backend factory before any JAX op runs.
+and pins jax_platforms to it (overriding the JAX_PLATFORMS env var);
+initializing that backend dials a tunnel and can block for minutes. An
+explicit config update after import wins and keeps tests on CPU. Do NOT
+remove the plugin's backend factory instead — that also unregisters the
+'tpu' MLIR platform and breaks jax.experimental.checkify (optax) imports.
 """
 
 import os
@@ -17,13 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-
-import jax._src.xla_bridge as _xb  # noqa: E402
-
-for _name in [k for k in list(_xb._backend_factories) if k != "cpu"]:
-    _xb._backend_factories.pop(_name)

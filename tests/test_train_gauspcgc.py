@@ -1,0 +1,108 @@
+"""Trainer tests: loss decreases on a tiny synthetic dataset; checkpoint IO;
+CLI compress/decompress round-trip."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from gauspcc_tpu.codecs.gauspcgc import cli, data, model
+from gauspcc_tpu.codecs.gauspcgc import train as train_lib
+from gauspcc_tpu.utils import checkpoint
+
+
+def _make_cloud(rng, n=1200, extent=64):
+    # axis-aligned plane-ish structure: learnable occupancy statistics
+    base = rng.integers(0, extent, size=(n, 3))
+    base[:, 2] = (base[:, 0] // 4 + base[:, 1] // 4) % (extent // 2)
+    return np.unique(base, axis=0).astype(np.float32)
+
+
+def test_training_reduces_bpp(tmp_path):
+    rng = np.random.default_rng(5)
+    cfg = train_lib.TrainConfig(
+        channels=8, kernel_size=3, model_dir=str(tmp_path), log_interval=1000
+    )
+    params = model.init_params(jax.random.PRNGKey(cfg.seed), cfg.net)
+    optimizer = train_lib.make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    update_fn = train_lib.make_update_fn(optimizer)
+    zero = jax.tree_util.tree_map(lambda x: np.zeros_like(x), params)
+
+    clouds = [_make_cloud(rng).astype(np.int64) for _ in range(3)]
+    first, last = None, None
+    for step in range(50):
+        xyz = clouds[step % len(clouds)]
+        params, opt_state, bpp = train_lib.train_step(
+            params, opt_state, update_fn, cfg.net, xyz, zero
+        )
+        if first is None:
+            first = bpp
+        last = bpp
+    # measured: ~8.5 -> ~7.0 bpp over 50 steps at lr 5e-4
+    assert last < first * 0.92, f"bpp did not improve: {first} -> {last}"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = model.NetConfig(channels=8, kernel_size=3)
+    params = model.init_params(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "m.npz")
+    checkpoint.save_pytree(path, params)
+    template = model.init_params(jax.random.PRNGKey(2), cfg)
+    loaded = checkpoint.load_pytree(path, template)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(loaded)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_compress_decompress(tmp_path):
+    rng = np.random.default_rng(6)
+    cloud_dir = tmp_path / "clouds"
+    os.makedirs(cloud_dir)
+    for i in range(2):
+        pts = _make_cloud(rng, n=600)
+        data.save_ply_ascii_geo(pts, str(cloud_dir / f"c{i}.ply"))
+
+    cfg = model.NetConfig(channels=8, kernel_size=3)
+    params = model.init_params(jax.random.PRNGKey(3), cfg)
+    ckpt = str(tmp_path / "ck.npz")
+    checkpoint.save_pytree(ckpt, params)
+
+    out_dir = str(tmp_path / "bins")
+    cli.main([
+        "compress", "--channels", "8", "--kernel_size", "3",
+        "--input", str(cloud_dir / "*.ply"), "--ckpt", ckpt,
+        "--output_dir", out_dir,
+    ])
+    assert os.path.exists(os.path.join(out_dir, "compress_results.csv"))
+
+    dec_dir = str(tmp_path / "dec")
+    cli.main([
+        "decompress", "--channels", "8", "--kernel_size", "3",
+        "--input", os.path.join(out_dir, "*.bin"), "--ckpt", ckpt,
+        "--output_dir", dec_dir,
+    ])
+    for i in range(2):
+        orig = data.read_points(str(cloud_dir / f"c{i}.ply"))
+        dec = data.read_points(os.path.join(dec_dir, f"c{i}.ply"))
+        got = set(map(tuple, dec.astype(np.int64).tolist()))
+        want = set(map(tuple, orig.astype(np.int64).tolist()))
+        assert got == want
+
+
+def test_kdtree_partition_sizes():
+    rng = np.random.default_rng(7)
+    pts = rng.normal(size=(10_000, 3)).astype(np.float32)
+    parts = data.kdtree_partition(pts, max_num=1500)
+    assert all(len(p) <= 1500 for p in parts)
+    assert sum(len(p) for p in parts) == 10_000
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.array([[0.5, -1.25, 3.0], [2, 2, 2]], np.float32)
+    path = str(tmp_path / "x.ply")
+    data.save_ply_ascii_geo(pts, path)
+    back = data.read_points(path)
+    np.testing.assert_allclose(back, pts, rtol=1e-5)
