@@ -1,0 +1,312 @@
+"""TPU-native differentiable 3D Gaussian splat renderer (pure XLA).
+
+Replaces the reference's diff-gaussian-rasterization CUDA extension (call
+surface: HAC/gaussian_renderer/__init__.py:199-225 rasterizer(...) ->
+(image, radii); :298-303 visible_filter). Same math, different execution
+shape, designed for the MXU/VPU rather than per-pixel warps:
+
+  1. project: quaternion -> R, Sigma = R S S^T R^T, EWA Jacobian to 2D
+     conic with +0.3 px low-pass, 3-sigma radius, view culling — one
+     vectorized pass over all Gaussians.
+  2. bin: every Gaussian emits up to D tile overlaps (bounded duplication),
+     one stable sort by (tile, depth) — XLA sort, no atomics.
+  3. blend: per tile, gather its first K Gaussians; alpha compositing is
+     reformulated as exp(exclusive-cumsum(log(1 - alpha))) so the
+     depth-sequential transmittance product becomes a vectorized cumsum,
+     and the color accumulation is a [256, K] x [K, 3] matmul per tile.
+     Tiles are processed in chunks under lax.map to bound memory.
+
+Gradients flow through the whole pipeline by autodiff (the sort indices
+and tile assignment are stop-gradient integer data, as in the reference's
+backward which replays fixed tile lists). An explicit `means2d_extra`
+zero input receives screen-space position gradients for densification
+statistics (the reference's screenspace_points trick, train.py:188).
+
+Bounded-work caveats (vs the reference's unbounded per-tile lists): a
+Gaussian contributes to at most D tiles and a tile blends at most K
+Gaussians, both config knobs; overflow is dropped far-tail-first (depth
+sorted). Raise for eval-quality renders.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TILE = 16
+
+
+class RasterConfig(NamedTuple):
+    height: int
+    width: int
+    tanfovx: float
+    tanfovy: float
+    max_tiles_per_gaussian: int = 32  # D
+    max_gaussians_per_tile: int = 256  # K
+    tile_chunk: int = 256  # tiles per lax.map step
+
+    @property
+    def tiles_x(self) -> int:
+        return (self.width + TILE - 1) // TILE
+
+    @property
+    def tiles_y(self) -> int:
+        return (self.height + TILE - 1) // TILE
+
+    @property
+    def n_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+
+def quat_to_rotmat(q: jax.Array) -> jax.Array:
+    """[N,4] (w,x,y,z) unnormalized -> [N,3,3] rotation matrices."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    ).reshape(-1, 3, 3)
+
+
+def covariance_3d(scales: jax.Array, rotations: jax.Array) -> jax.Array:
+    """Sigma = R S S^T R^T, [N, 3, 3]."""
+    r = quat_to_rotmat(rotations)
+    m = r * scales[:, None, :]
+    return m @ m.transpose(0, 2, 1)
+
+
+class Projected(NamedTuple):
+    mean2d: jax.Array  # [N, 2] pixel coords
+    depth: jax.Array  # [N]
+    conic: jax.Array  # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jax.Array  # [N] int32 pixel radius (0 = culled)
+
+
+def project(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    viewmatrix: jax.Array,  # [4, 4], world-to-view (column-vector convention)
+    cfg: RasterConfig,
+    valid: jax.Array | None = None,
+) -> Projected:
+    n = means3d.shape[0]
+    ones = jnp.ones((n, 1), means3d.dtype)
+    p_view = jnp.concatenate([means3d, ones], -1) @ viewmatrix  # [N, 4]
+    tz = p_view[:, 2]
+    in_front = tz > 0.2
+
+    # clamped perspective (reference computeCov2D frustum clamp of 1.3*tan)
+    lim_x = 1.3 * cfg.tanfovx
+    lim_y = 1.3 * cfg.tanfovy
+    tx = jnp.clip(p_view[:, 0] / jnp.maximum(tz, 1e-6), -lim_x, lim_x) * tz
+    ty = jnp.clip(p_view[:, 1] / jnp.maximum(tz, 1e-6), -lim_y, lim_y) * tz
+
+    focal_x = cfg.width / (2.0 * cfg.tanfovx)
+    focal_y = cfg.height / (2.0 * cfg.tanfovy)
+    tz_s = jnp.maximum(tz, 1e-6)
+
+    # EWA Jacobian J (2x3 rows of d(pix)/d(view))
+    zeros = jnp.zeros_like(tz)
+    j = jnp.stack(
+        [
+            focal_x / tz_s, zeros, -(focal_x * tx) / (tz_s * tz_s),
+            zeros, focal_y / tz_s, -(focal_y * ty) / (tz_s * tz_s),
+        ],
+        axis=-1,
+    ).reshape(n, 2, 3)
+    w = viewmatrix[:3, :3].T  # rotation part, view rows
+    cov3d = covariance_3d(scales, rotations)
+    t = j @ jnp.broadcast_to(w, (n, 3, 3)) @ cov3d @ jnp.broadcast_to(w.T, (n, 3, 3)) @ j.transpose(0, 2, 1)
+    cov_a = t[:, 0, 0] + 0.3
+    cov_b = t[:, 0, 1]
+    cov_c = t[:, 1, 1] + 0.3
+
+    det = cov_a * cov_c - cov_b * cov_b
+    det_ok = det > 0.0
+    det_s = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([cov_c / det_s, -cov_b / det_s, cov_a / det_s], -1)
+
+    mid = 0.5 * (cov_a + cov_c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    # pixel coords (OpenGL-style NDC -> pixel center convention)
+    px = ((p_view[:, 0] / tz_s / cfg.tanfovx) + 1.0) * cfg.width * 0.5 - 0.5
+    py = ((p_view[:, 1] / tz_s / cfg.tanfovy) + 1.0) * cfg.height * 0.5 - 0.5
+    mean2d = jnp.stack([px, py], -1)
+
+    on_screen = (
+        (px + radius > 0) & (px - radius < cfg.width)
+        & (py + radius > 0) & (py - radius < cfg.height)
+    )
+    ok = in_front & det_ok & on_screen
+    if valid is not None:
+        ok = ok & valid
+    radius = jnp.where(ok, radius, 0.0).astype(jnp.int32)
+    return Projected(mean2d=mean2d, depth=tz, conic=conic, radius=radius)
+
+
+def _depth_key(depth: jax.Array) -> jax.Array:
+    """Positive float depths -> monotone int32 keys."""
+    return jax.lax.bitcast_convert_type(jnp.maximum(depth, 1e-6), jnp.int32)
+
+
+def _build_tile_lists(proj: Projected, cfg: RasterConfig):
+    """Bounded duplication + sort. Returns (tile_start [T], pair_gauss
+    [P*D] int32 sorted by (tile, depth), pair_tile [P*D])."""
+    n = proj.mean2d.shape[0]
+    d_max = cfg.max_tiles_per_gaussian
+
+    r = proj.radius.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - r) / TILE), 0, cfg.tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + r) / TILE), 0, cfg.tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - r) / TILE), 0, cfg.tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + r) / TILE), 0, cfg.tiles_y - 1)
+    nx = (x1 - x0 + 1).astype(jnp.int32)
+    ny = (y1 - y0 + 1).astype(jnp.int32)
+
+    alive = proj.radius > 0
+    slot = jnp.arange(d_max, dtype=jnp.int32)  # [D]
+    sx = slot[None, :] % jnp.maximum(nx[:, None], 1)
+    sy = slot[None, :] // jnp.maximum(nx[:, None], 1)
+    tile = (
+        (y0.astype(jnp.int32)[:, None] + sy) * cfg.tiles_x
+        + x0.astype(jnp.int32)[:, None] + sx
+    )
+    pair_ok = alive[:, None] & (slot[None, :] < nx[:, None] * ny[:, None])
+    tile = jnp.where(pair_ok, tile, cfg.n_tiles)  # overflow bucket at end
+
+    # sort by (tile, depth): single compound key in int64-free fashion —
+    # two stable sorts (depth first, then tile)
+    pair_tile = tile.reshape(-1)
+    pair_gauss = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, d_max)
+    ).reshape(-1)
+    pair_depth = jnp.broadcast_to(_depth_key(proj.depth)[:, None], (n, d_max)).reshape(-1)
+
+    order1 = jnp.argsort(pair_depth, stable=True)
+    pt = pair_tile[order1]
+    pg = pair_gauss[order1]
+    order2 = jnp.argsort(pt, stable=True)
+    pt = pt[order2]
+    pg = pg[order2]
+
+    tile_start = jnp.searchsorted(pt, jnp.arange(cfg.n_tiles + 1, dtype=jnp.int32))
+    return tile_start, pg, pt
+
+
+def rasterize(
+    means3d: jax.Array,
+    colors: jax.Array,
+    opacities: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    viewmatrix: jax.Array,
+    bg_color: jax.Array,
+    cfg: RasterConfig,
+    valid: jax.Array | None = None,
+    means2d_extra: jax.Array | None = None,
+):
+    """Render. Returns (image [3, H, W], radii [N]).
+
+    means2d_extra: optional [N, 2] zeros; added to projected screen
+    positions so its cotangent carries the per-Gaussian screen gradient.
+    """
+    proj = project(means3d, scales, rotations, viewmatrix, cfg, valid)
+    mean2d = proj.mean2d
+    if means2d_extra is not None:
+        mean2d = mean2d + means2d_extra
+
+    tile_start, pair_gauss, _ = _build_tile_lists(proj, cfg)
+    tile_start = jax.lax.stop_gradient(tile_start)
+    pair_gauss = jax.lax.stop_gradient(pair_gauss)
+
+    k = cfg.max_gaussians_per_tile
+    n_tiles = cfg.n_tiles
+    opa = opacities.reshape(-1)
+
+    # per-tile pixel coordinates
+    tx = jnp.arange(cfg.tiles_x, dtype=jnp.float32) * TILE
+    ty = jnp.arange(cfg.tiles_y, dtype=jnp.float32) * TILE
+    px_in_tile = jnp.arange(TILE, dtype=jnp.float32)
+
+    def render_tiles(tile_ids):  # [C] chunk of tile indices
+        starts = tile_start[tile_ids]
+        counts = tile_start[tile_ids + 1] - starts
+        take = jnp.minimum(counts, k)
+        gidx = pair_gauss[
+            jnp.clip(starts[:, None] + jnp.arange(k)[None, :], 0, pair_gauss.shape[0] - 1)
+        ]  # [C, K]
+        gmask = jnp.arange(k)[None, :] < take[:, None]
+
+        g_mean = mean2d[gidx]  # [C, K, 2]
+        g_conic = proj.conic[gidx]  # [C, K, 3]
+        g_opa = opa[gidx]  # [C, K]
+        g_col = colors[gidx]  # [C, K, 3]
+
+        tix = tile_ids % cfg.tiles_x
+        tiy = tile_ids // cfg.tiles_x
+        pxg, pyg = jnp.meshgrid(px_in_tile, px_in_tile, indexing="xy")
+        ppx = tx[tix][:, None] + pxg.reshape(-1)[None, :]  # [C, 256]
+        ppy = ty[tiy][:, None] + pyg.reshape(-1)[None, :]
+
+        dx = ppx[:, :, None] - g_mean[:, None, :, 0]  # [C, 256, K]
+        dy = ppy[:, :, None] - g_mean[:, None, :, 1]
+        power = -0.5 * (
+            g_conic[:, None, :, 0] * dx * dx
+            + g_conic[:, None, :, 2] * dy * dy
+        ) - g_conic[:, None, :, 1] * dx * dy
+        alpha = jnp.minimum(0.99, g_opa[:, None, :] * jnp.exp(jnp.minimum(power, 0.0)))
+        alpha = jnp.where(gmask[:, None, :] & (alpha >= (1.0 / 255.0)), alpha, 0.0)
+
+        # transmittance BEFORE each gaussian: exclusive cumsum of log(1-a)
+        log1ma = jnp.log1p(-alpha)
+        t_before = jnp.exp(
+            jnp.cumsum(log1ma, axis=-1) - log1ma
+        )
+        # reference stops once T < 1e-4
+        w = jnp.where(t_before >= 1e-4, alpha * t_before, 0.0)  # [C, 256, K]
+        rgb = jnp.einsum(
+            "cpk,ckr->cpr", w, g_col, preferred_element_type=jnp.float32
+        )  # [C, 256, 3]
+        t_final = jnp.exp(jnp.sum(log1ma, axis=-1))  # [C, 256]
+        rgb = rgb + t_final[:, :, None] * bg_color[None, None, :]
+        return rgb  # [C, 256, 3]
+
+    all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    pad_tiles = (-n_tiles) % cfg.tile_chunk
+    all_tiles = jnp.concatenate(
+        [all_tiles, jnp.zeros(pad_tiles, jnp.int32)]
+    ).reshape(-1, cfg.tile_chunk)
+    # remat: recompute per-chunk alphas in the backward pass instead of
+    # saving [B, C, 256, K] residuals (HBM would blow up otherwise)
+    chunks = jax.lax.map(jax.checkpoint(render_tiles), all_tiles)  # [B, C, 256, 3]
+    tiles = chunks.reshape(-1, TILE, TILE, 3)[:n_tiles]
+
+    img = tiles.reshape(cfg.tiles_y, cfg.tiles_x, TILE, TILE, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        cfg.tiles_y * TILE, cfg.tiles_x * TILE, 3
+    )[: cfg.height, : cfg.width]
+    return img.transpose(2, 0, 1), proj.radius
+
+
+def visible_filter(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    viewmatrix: jax.Array,
+    cfg: RasterConfig,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """radii > 0 visibility mask (reference rasterizer.visible_filter used
+    by prefilter_voxel, gaussian_renderer/__init__.py:298-305)."""
+    return project(means3d, scales, rotations, viewmatrix, cfg, valid).radius > 0

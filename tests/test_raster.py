@@ -1,0 +1,165 @@
+"""Rasterizer tests: analytic single-splat checks, ordering, culling,
+gradients (including the screen-space gradient channel)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gauspcc_tpu.render import raster
+
+
+def _cfg(h=64, w=64, **kw):
+    return raster.RasterConfig(height=h, width=w, tanfovx=0.5, tanfovy=0.5, **kw)
+
+
+def _identity_view():
+    # camera at origin looking down +z, viewmatrix = W2V^T = I
+    return jnp.eye(4, dtype=jnp.float32)
+
+
+def _one_gaussian(xyz=(0.0, 0.0, 5.0), color=(1.0, 0.0, 0.0), opacity=0.9,
+                  scale=0.3):
+    return dict(
+        means3d=jnp.asarray([xyz], jnp.float32),
+        colors=jnp.asarray([color], jnp.float32),
+        opacities=jnp.asarray([[opacity]], jnp.float32),
+        scales=jnp.full((1, 3), scale, jnp.float32),
+        rotations=jnp.asarray([[1.0, 0, 0, 0]], jnp.float32),
+    )
+
+
+def test_empty_scene_is_background():
+    cfg = _cfg()
+    g = _one_gaussian()
+    img, radii = raster.rasterize(
+        **g, viewmatrix=_identity_view(),
+        bg_color=jnp.asarray([0.0, 0.5, 1.0]), cfg=cfg,
+        valid=jnp.asarray([False]),
+    )
+    assert img.shape == (3, 64, 64)
+    np.testing.assert_allclose(np.asarray(img[1]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img[2]), 1.0, atol=1e-6)
+    assert int(radii[0]) == 0
+
+
+def test_single_gaussian_center_alpha():
+    cfg = _cfg()
+    g = _one_gaussian(opacity=0.8)
+    img, radii = raster.rasterize(
+        **g, viewmatrix=_identity_view(),
+        bg_color=jnp.zeros(3), cfg=cfg,
+    )
+    assert int(radii[0]) > 0
+    img = np.asarray(img)
+    # center pixel ~ (31.5, 31.5); pixels 31/32 read alpha ~= opacity * exp(-eps)
+    center_red = img[0, 31:33, 31:33]
+    assert center_red.max() > 0.7, center_red
+    # far corner should be ~0
+    assert img[0, 0, 0] < 1e-3
+    # symmetric in x/y
+    np.testing.assert_allclose(img[0, 31, 20], img[0, 31, 43], rtol=0.05, atol=1e-4)
+
+
+def test_depth_ordering_front_occludes_back():
+    cfg = _cfg()
+    means = jnp.asarray([[0, 0, 5.0], [0, 0, 10.0]], jnp.float32)
+    colors = jnp.asarray([[1, 0, 0], [0, 1, 0]], jnp.float32)
+    opac = jnp.asarray([[0.95], [0.95]], jnp.float32)
+    scales = jnp.full((2, 3), 0.5, jnp.float32)
+    rots = jnp.asarray([[1.0, 0, 0, 0]] * 2, jnp.float32)
+    img, _ = raster.rasterize(
+        means3d=means, colors=colors, opacities=opac, scales=scales,
+        rotations=rots, viewmatrix=_identity_view(),
+        bg_color=jnp.zeros(3), cfg=cfg,
+    )
+    img = np.asarray(img)
+    c = img[:, 31, 31]
+    assert c[0] > 0.9  # front red dominates
+    assert c[1] < 0.1
+
+    # swap storage order: result must be identical (sorted by depth)
+    img2, _ = raster.rasterize(
+        means3d=means[::-1], colors=colors[::-1], opacities=opac[::-1],
+        scales=scales, rotations=rots, viewmatrix=_identity_view(),
+        bg_color=jnp.zeros(3), cfg=cfg,
+    )
+    np.testing.assert_allclose(img, np.asarray(img2), atol=1e-5)
+
+
+def test_behind_camera_culled():
+    cfg = _cfg()
+    g = _one_gaussian(xyz=(0, 0, -5.0))
+    img, radii = raster.rasterize(
+        **g, viewmatrix=_identity_view(), bg_color=jnp.zeros(3), cfg=cfg
+    )
+    assert int(radii[0]) == 0
+    assert float(jnp.abs(img).max()) == 0.0
+
+
+def test_visible_filter():
+    cfg = _cfg()
+    means = jnp.asarray([[0, 0, 5.0], [0, 0, -5.0], [100.0, 0, 5.0]], jnp.float32)
+    scales = jnp.full((3, 3), 0.3, jnp.float32)
+    rots = jnp.asarray([[1.0, 0, 0, 0]] * 3, jnp.float32)
+    vis = raster.visible_filter(means, scales, rots, _identity_view(), cfg)
+    np.testing.assert_array_equal(np.asarray(vis), [True, False, False])
+
+
+def test_gradients_flow():
+    cfg = _cfg(h=32, w=32)
+    g = _one_gaussian(xyz=(0.2, -0.1, 5.0), opacity=0.7)
+    target = jnp.zeros((3, 32, 32))
+
+    def loss(means3d, colors, opac, scales, rots, m2d):
+        img, _ = raster.rasterize(
+            means3d=means3d, colors=colors, opacities=opac, scales=scales,
+            rotations=rots, viewmatrix=_identity_view(),
+            bg_color=jnp.zeros(3), cfg=cfg, means2d_extra=m2d,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    m2d = jnp.zeros((1, 2))
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+        g["means3d"], g["colors"], g["opacities"], g["scales"], g["rotations"], m2d
+    )
+    for gr in grads:
+        assert np.isfinite(np.asarray(gr)).all()
+    assert float(jnp.abs(grads[0]).max()) > 0  # means3d
+    assert float(jnp.abs(grads[1]).max()) > 0  # colors
+    assert float(jnp.abs(grads[5]).max()) > 0  # screen-space channel
+
+
+def test_grad_matches_finite_difference():
+    cfg = _cfg(h=32, w=32)
+    g = _one_gaussian(xyz=(0.0, 0.0, 5.0), opacity=0.6, scale=0.4)
+
+    def loss(opacity_val):
+        img, _ = raster.rasterize(
+            means3d=g["means3d"], colors=g["colors"],
+            opacities=jnp.asarray([[opacity_val]]), scales=g["scales"],
+            rotations=g["rotations"], viewmatrix=_identity_view(),
+            bg_color=jnp.zeros(3), cfg=cfg,
+        )
+        return jnp.sum(img)
+
+    gval = float(jax.grad(loss)(0.6))
+    eps = 1e-3
+    fd = (float(loss(0.6 + eps)) - float(loss(0.6 - eps))) / (2 * eps)
+    np.testing.assert_allclose(gval, fd, rtol=2e-2)
+
+
+def test_tile_overflow_graceful():
+    """More gaussians on one tile than K: must not crash; nearest K win."""
+    cfg = _cfg(max_gaussians_per_tile=8)
+    n = 64
+    rng = np.random.default_rng(0)
+    means = np.zeros((n, 3), np.float32)
+    means[:, 2] = np.linspace(3, 20, n)
+    colors = rng.random((n, 3)).astype(np.float32)
+    img, _ = raster.rasterize(
+        means3d=jnp.asarray(means), colors=jnp.asarray(colors),
+        opacities=jnp.full((n, 1), 0.5), scales=jnp.full((n, 3), 0.2),
+        rotations=jnp.asarray([[1.0, 0, 0, 0]] * n),
+        viewmatrix=_identity_view(), bg_color=jnp.zeros(3), cfg=cfg,
+    )
+    assert np.isfinite(np.asarray(img)).all()
