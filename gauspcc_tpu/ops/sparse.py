@@ -178,11 +178,12 @@ def build_neighbor_map(
     For every query voxel and kernel offset, finds the source row whose
     coordinates equal query+offset (or marks a miss). Pure int32: no
     64-bit keys, no coordinate-extent assumptions, negative coords fine.
+    Kernel offsets are processed in chunks under lax.map so peak HBM stays
+    O(Nq * chunk) instead of O(Nq * K^3).
     """
     k3 = kernel_size ** 3
     nq = coords_q.shape[0]
     ns = coords_s.shape[0]
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # [K3, 3]
 
     order = lex_sort(coords_s, mask_s)
     s_sorted = coords_s[order]
@@ -191,29 +192,30 @@ def build_neighbor_map(
     sy = jnp.where(mask_s[order], s_sorted[:, 1], _I32_MAX)
     sx = jnp.where(mask_s[order], s_sorted[:, 0], _I32_MAX)
 
-    q = (coords_q[:, None, :] + offs[None, :, :]).reshape(-1, 3)  # [Nq*K3, 3]
-    qz, qy, qx = q[:, 2], q[:, 1], q[:, 0]
-
-    # lower_bound via bitwise binary search (n rounded to next pow2)
     n_bits = max(1, int(np.ceil(np.log2(max(ns, 2)))))
-    lo = jnp.zeros(q.shape[0], jnp.int32)
-    for b in range(n_bits - 1, -1, -1):
-        cand = lo + (1 << b)
-        in_b = cand <= ns
-        probe = jnp.clip(cand - 1, 0, ns - 1)
-        less = _lex_less(sz[probe], sy[probe], sx[probe], qz, qy, qx)
-        lo = jnp.where(in_b & less, cand, lo)
 
-    probe = jnp.clip(lo, 0, ns - 1)
-    found = (
-        (sz[probe] == qz) & (sy[probe] == qy) & (sx[probe] == qx) & (lo < ns)
-    )
-    found = found & jnp.repeat(mask_q, k3, total_repeat_length=nq * k3)
-    idx = jnp.where(found, order[probe], 0).astype(jnp.int32)
-    return NeighborMap(
-        idx=idx.reshape(nq, k3).T,
-        valid=found.reshape(nq, k3).T,
-    )
+    def lookup(offset):  # offset [3] -> (idx [Nq], valid [Nq])
+        qz = coords_q[:, 2] + offset[2]
+        qy = coords_q[:, 1] + offset[1]
+        qx = coords_q[:, 0] + offset[0]
+        lo = jnp.zeros(nq, jnp.int32)
+        for b in range(n_bits - 1, -1, -1):
+            cand = lo + (1 << b)
+            in_b = cand <= ns
+            probe = jnp.clip(cand - 1, 0, ns - 1)
+            less = _lex_less(sz[probe], sy[probe], sx[probe], qz, qy, qx)
+            lo = jnp.where(in_b & less, cand, lo)
+        probe = jnp.clip(lo, 0, ns - 1)
+        found = (
+            (sz[probe] == qz) & (sy[probe] == qy) & (sx[probe] == qx)
+            & (lo < ns) & mask_q
+        )
+        idx = jnp.where(found, order[probe], 0).astype(jnp.int32)
+        return idx, found
+
+    offs = jnp.asarray(kernel_offsets(kernel_size))  # [K3, 3]
+    idx, valid = jax.lax.map(lookup, offs, batch_size=min(k3, 16))
+    return NeighborMap(idx=idx, valid=valid)
 
 
 def sparse_conv_apply(
@@ -228,11 +230,14 @@ def sparse_conv_apply(
     feats: [Ns, Cin] source features.
     weight: [K3, Cin, Cout]; bias: [Cout].
     Offsets are processed in groups of `group` so each step is one
-    [Nq, group*Cin] x [group*Cin, Cout] MXU contraction.
+    [Nq, group*Cin] x [group*Cin, Cout] MXU contraction; the group size
+    shrinks automatically for huge query counts to bound the gathered
+    activation buffer (~256MB).
     """
     k3, cin, cout = weight.shape
     nq = nmap.idx.shape[1]
-    g = group
+    budget = 64 * 1024 * 1024  # elements per gathered buffer
+    g = max(1, min(group, budget // max(nq * cin, 1)))
     n_groups = (k3 + g - 1) // g
     pad = n_groups * g - k3
 
