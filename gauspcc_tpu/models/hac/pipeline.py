@@ -1,0 +1,208 @@
+"""Full HAC scene pipeline: train -> estimate -> encode -> decode -> eval.
+
+Parity: HAC/train.py (training() :88-257, training_report codec eval
+:291-382, render_sets :440-480, evaluate :496-563). Produces the same
+artifacts: per-view renders, results.json with PSNR/SSIM/LPIPS* and FPS,
+bitstream directory with per-component sizes.
+
+(*) LPIPS requires pretrained VGG features; in this zero-egress
+environment it is reported as null unless a weights file is provided
+(utils/lpips.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gauspcc_tpu.data.scene import Scene
+from gauspcc_tpu.models.hac import codec as hac_codec
+from gauspcc_tpu.models.hac import model as hac
+from gauspcc_tpu.models.hac import render as hac_render
+from gauspcc_tpu.models.hac import train as hac_train
+from gauspcc_tpu.render import raster
+from gauspcc_tpu.utils import checkpoint, image as img_lib
+
+
+def _raster_cfg(cam, max_k: int = 256) -> raster.RasterConfig:
+    return raster.RasterConfig(
+        height=cam.height, width=cam.width,
+        tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
+        max_gaussians_per_tile=max_k,
+    )
+
+
+def train_scene(
+    scene: Scene,
+    cfg: hac.HACConfig,
+    opt: hac_train.OptConfig,
+    model_dir: str,
+    pcc_params=None,
+    pcc_cfg=None,
+    seed: int = 0,
+    log_every: int = 200,
+    eval_at_end: bool = True,
+    white_background: bool = False,
+    logger=None,
+):
+    """Train one scene end-to-end; returns (state, results dict)."""
+    os.makedirs(model_dir, exist_ok=True)
+    log = logger.info if logger else print
+
+    points = hac.voxelize_points(scene.points, cfg.voxel_size, seed)
+    state = hac.init_state(jax.random.PRNGKey(seed), cfg, points)
+    state = hac.update_anchor_bound(state)
+    log(f"anchors at init: {points.shape[0]}")
+
+    optimizer = hac_train.make_optimizer(opt, scene.cameras_extent)
+    params, rest = hac.split_state(state)
+    opt_state = optimizer.init(params)
+    stats = hac_train.zero_stats(rest["valid"].shape[0], cfg.n_offsets)
+
+    cams = scene.train_cameras
+    rcfg = _raster_cfg(cams[0])
+    step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt)
+    cam_arrays = [hac_render.CameraArrays.from_camera(c) for c in cams]
+
+    key = jax.random.PRNGKey(seed + 1)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(cam_arrays)).tolist()
+    t0 = time.time()
+    for it in range(1, opt.iterations + 1):
+        if not order:
+            order = rng.permutation(len(cam_arrays)).tolist()
+        cam = cam_arrays[order.pop()]
+        key, sub = jax.random.split(key)
+        params, opt_state, stats, metrics = step_fn(
+            params, rest, opt_state, stats, cam, sub,
+            phase=hac_train.phase_of_step(it),
+        )
+        if it % log_every == 0:
+            log(
+                f"iter {it}: loss {float(metrics['loss']):.4f} "
+                f"psnr {float(metrics['psnr']):.2f} "
+                f"bpp {float(metrics['bit_per_param']):.4f} "
+                f"({(time.time()-t0)/it:.3f} s/it)"
+            )
+        # densification (train.py:229-240; paused 3000-4000 to settle Q)
+        densify = (
+            opt.start_stat < it < opt.update_until
+            and it > opt.update_from
+            and it % opt.update_interval == 0
+            and not (3000 <= it < 4000)
+        )
+        if densify:
+            state = hac.merge_state(params, rest)
+            state, stats, opt_state, info = hac_train.adjust_anchor(
+                state, stats, opt_state, cfg, opt, rng
+            )
+            params, rest = hac.split_state(state)
+            if it % (opt.update_interval * 10) == 0:
+                log(f"iter {it}: anchors {info['n_anchors']} "
+                    f"(+{info['n_added']}/-{info['n_pruned']})")
+
+    state = hac.merge_state(params, rest)
+    checkpoint.save_pytree(os.path.join(model_dir, "model.npz"), state)
+
+    results = {}
+    if eval_at_end and pcc_params is not None:
+        est, est_log = hac_codec.estimate_final_bits(state, cfg)
+        log(est_log)
+        bs_dir = os.path.join(model_dir, "bitstreams")
+        sizes, enc_log = hac_codec.conduct_encoding(
+            state, cfg, bs_dir, pcc_params, pcc_cfg
+        )
+        log(enc_log)
+        dec_state, dec_log = hac_codec.conduct_decoding(
+            state, cfg, bs_dir, pcc_params, pcc_cfg
+        )
+        log(dec_log)
+        results = evaluate(
+            dec_state, cfg, scene.test_cameras or scene.train_cameras[:2],
+            os.path.join(model_dir, "test_renders"),
+            white_background=white_background, decoded=True,
+        )
+        results["size_bits"] = sizes
+        results["size_mb"] = sizes["total"] / hac_codec.BIT2MB
+        json.dump(results, open(os.path.join(model_dir, "results.json"), "w"),
+                  indent=2, default=float)
+        log(f"eval: PSNR {results['psnr']:.3f}, "
+            f"size {results['size_mb']:.3f} MB")
+    return state, results
+
+
+def render_sets(state, cfg: hac.HACConfig, cameras, out_dir: str,
+                white_background: bool = False, decoded: bool = False):
+    """Render all views; saves PNGs when PIL is available; returns arrays
+    + FPS (render_set, HAC/train.py:385-437)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    renders = []
+    t_total = 0.0
+    for i, cam in enumerate(cameras):
+        rcfg = _raster_cfg(cam)
+        ca = hac_render.CameraArrays.from_camera(cam, with_image=False)
+        t0 = time.time()
+        out = hac_render.render_view(state, cfg, ca, rcfg, bg, decoded=decoded)
+        img = np.asarray(out["render"])  # blocks
+        t_total += time.time() - t0
+        renders.append(img)
+        _save_png(img, os.path.join(out_dir, f"{i:05d}.png"))
+    fps = len(cameras) / max(t_total, 1e-9)
+    return renders, fps
+
+
+def evaluate(state, cfg: hac.HACConfig, cameras, out_dir: str,
+             white_background: bool = False, decoded: bool = False) -> dict:
+    """PSNR/SSIM(/LPIPS when available) against ground-truth views
+    (evaluate, HAC/train.py:496-563)."""
+    renders, fps = render_sets(state, cfg, cameras, out_dir,
+                               white_background, decoded)
+    psnrs, ssims, lpipss = [], [], []
+    lpips_fn = _try_lpips()
+    per_view = {}
+    for i, (cam, img) in enumerate(zip(cameras, renders)):
+        if cam.image is None:
+            continue
+        gt = jnp.asarray(cam.image)
+        im = jnp.asarray(img)
+        p = float(img_lib.psnr(im, gt))
+        s = float(img_lib.ssim(im, gt))
+        psnrs.append(p)
+        ssims.append(s)
+        entry = {"psnr": p, "ssim": s}
+        if lpips_fn is not None:
+            entry["lpips"] = float(lpips_fn(im, gt))
+            lpipss.append(entry["lpips"])
+        per_view[f"{i:05d}"] = entry
+    return {
+        "psnr": float(np.mean(psnrs)) if psnrs else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "fps": fps,
+        "per_view": per_view,
+    }
+
+
+def _save_png(img_chw: np.ndarray, path: str) -> None:
+    try:
+        from PIL import Image
+    except ImportError:
+        np.save(path.replace(".png", ".npy"), img_chw)
+        return
+    arr = np.clip(img_chw.transpose(1, 2, 0) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _try_lpips():
+    try:
+        from gauspcc_tpu.utils.lpips import load_default_lpips
+
+        return load_default_lpips()
+    except Exception:
+        return None

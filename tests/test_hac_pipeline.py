@@ -1,0 +1,56 @@
+"""Smoke test of the full HAC pipeline: short train -> encode -> decode ->
+eval on the synthetic scene (the reference's end-to-end QA pattern,
+SURVEY.md §4)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from gauspcc_tpu.codecs.gauspcgc import model as pcc_model
+from gauspcc_tpu.data.cameras import Camera
+from gauspcc_tpu.models.hac import model as hac
+from gauspcc_tpu.models.hac import pipeline
+from gauspcc_tpu.models.hac import train as hac_train
+
+from tests.test_hac_train import SMALL_CFG, _gt_scene, _orbit_camera, _render_gt, H, W
+
+
+class _FakeScene:
+    def __init__(self, cams, points, extent):
+        self.train_cameras = cams[:4]
+        self.test_cameras = cams[4:]
+        self.points = points
+        self.cameras_extent = extent
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    rng = np.random.default_rng(1)
+    scene_g = _gt_scene(rng)
+    cams = []
+    for i, ang in enumerate(np.linspace(0, 2 * np.pi, 6, endpoint=False)):
+        c = _orbit_camera(i, ang)
+        c.image = _render_gt(c, scene_g)
+        cams.append(c)
+    pts = (rng.random((400, 3)) * 1.2 - 0.6).astype(np.float32)
+    scene = _FakeScene(cams, pts, extent=4.0)
+
+    pcc_cfg = pcc_model.NetConfig(channels=8, kernel_size=3)
+    pcc_params = pcc_model.init_params(jax.random.PRNGKey(3), pcc_cfg)
+
+    opt = hac_train.OptConfig(iterations=25, update_from=5, update_interval=10,
+                              update_until=20, lmbda=1e-3)
+    model_dir = str(tmp_path / "model")
+    state, results = pipeline.train_scene(
+        scene, SMALL_CFG, opt, model_dir, pcc_params, pcc_cfg,
+        log_every=50,
+    )
+    assert os.path.exists(os.path.join(model_dir, "model.npz"))
+    assert os.path.exists(os.path.join(model_dir, "results.json"))
+    saved = json.load(open(os.path.join(model_dir, "results.json")))
+    assert saved["psnr"] is not None and np.isfinite(saved["psnr"])
+    assert saved["size_mb"] > 0
+    assert os.path.exists(os.path.join(model_dir, "bitstreams", "xyz_pcc.bin"))
