@@ -260,12 +260,15 @@ def encoding_params_flat(state: State, binarize: bool = True) -> jax.Array:
 
 
 def mlp_size_bits(state: State, digit: int = 32) -> int:
-    """Networks-sizes accounting (get_mlp_size, gaussian_model.py:287-292;
-    'mlp' params except deform)."""
+    """Networks-sizes accounting (get_mlp_size, gaussian_model.py:287-292):
+    every 'mlp*' net except the deform slot, whichever family owns it."""
     total = 0
-    for name in ("mlp_opacity", "mlp_cov", "mlp_color", "mlp_grid"):
-        for layer in state["nets"][name].values():
-            total += sum(int(np.prod(p.shape)) for p in layer.values())
+    for name, net in state["nets"].items():
+        if not name.startswith("mlp") or "deform" in name:
+            continue
+        total += sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(net)
+        )
     return total * digit
 
 
