@@ -1,0 +1,129 @@
+"""CAT-3DGS tests: ARM causality + plane round-trip, PCA field, chcm
+coding, full scene bitstream round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gauspcc_tpu.codecs.gauspcgc import model as pcc_model
+from gauspcc_tpu.models.cat3dgs import arm, codec as cat_codec
+from gauspcc_tpu.models.cat3dgs import field as cat_field
+from gauspcc_tpu.models.cat3dgs import model as cat
+from gauspcc_tpu.models.cat3dgs import render as cat_render
+from gauspcc_tpu.models.hac import model as hac
+from gauspcc_tpu.models.hac import render as hac_render
+from gauspcc_tpu.render import raster
+
+CFG = cat.CATConfig(
+    feat_dim=8, n_offsets=3, voxel_size=0.05, chcm_slices=(4, 4),
+    tri_feat=1, base_resolution=16, multiscale=(1, 2),
+)
+PCC_CFG = pcc_model.NetConfig(channels=8, kernel_size=3)
+
+
+def test_ctx_offsets_causal_in_wave_order():
+    """Every context offset must land in a strictly earlier wave."""
+    for dy, dx in arm.CTX_OFFSETS:
+        assert arm.WAVE_ROW_OFFSET * dy + dx < 0, (dy, dx)
+
+
+def test_arm_plane_roundtrip():
+    key = jax.random.PRNGKey(0)
+    params = arm.init_arm(key)
+    rng = np.random.default_rng(0)
+    latent = np.round(rng.normal(0, 2.0, (24, 24))).astype(np.float32)
+    stream = arm.encode_plane(params, latent)
+    dec = arm.decode_plane(params, stream)
+    np.testing.assert_array_equal(dec, latent)
+
+
+def test_arm_rate_vs_stream_size():
+    params = arm.init_arm(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    latent = np.round(rng.normal(0, 1.5, (32, 32))).astype(np.float32)
+    bits_est, _, _ = arm.plane_rate(params, jnp.asarray(latent))
+    stream = arm.encode_plane(params, latent)
+    actual = len(stream) * 8
+    assert actual < float(bits_est) * 1.2 + 256
+    assert actual > float(bits_est) * 0.9
+
+
+def test_pca_fit_orients_anisotropy():
+    rng = np.random.default_rng(2)
+    pts = rng.normal(size=(2000, 3)) * np.array([10.0, 1.0, 0.1])
+    rot, mean, std = cat_field.fit_pca(pts.astype(np.float32))
+    assert std[0] > std[1] > std[2]
+    # first principal axis ~ x
+    assert abs(rot[0, 0]) > 0.95
+
+
+@pytest.fixture(scope="module")
+def state():
+    rng = np.random.default_rng(0)
+    pts = hac.voxelize_points(
+        (rng.random((300, 3)) * 2 - 1).astype(np.float32), CFG.voxel_size)
+    st = cat.init_state(jax.random.PRNGKey(0), CFG, pts)
+    st = hac.update_anchor_bound(st)
+    st = cat.set_pca_frame(st, CFG)
+    a = dict(st["anchors"])
+    n = pts.shape[0]
+    a["anchor_feat"] = a["anchor_feat"].at[:n].set(
+        jnp.asarray(rng.normal(0, 0.5, (n, CFG.feat_dim)).astype(np.float32)))
+    return dict(st, anchors=a)
+
+
+def test_training_loss_and_grads(state):
+    params, rest = hac.split_state(state)
+    rcfg = raster.RasterConfig(32, 32, 0.5, 0.5, max_gaussians_per_tile=32)
+    cam = hac_render.CameraArrays(
+        viewmatrix=jnp.eye(4), camera_center=jnp.zeros(3),
+        image=jnp.zeros((3, 32, 32)))
+    m2d = jnp.zeros((rest["valid"].shape[0] * CFG.n_offsets, 2))
+    loss, aux = cat_render.training_loss(
+        params, rest, CFG, cam, rcfg, jnp.zeros(3), 2,
+        jax.random.PRNGKey(0), m2d, 1e-3)
+    assert np.isfinite(float(loss))
+    assert float(aux["bit_per_param"]) > 0
+    g = jax.grad(lambda p: cat_render.training_loss(
+        p, rest, CFG, cam, rcfg, jnp.zeros(3), 2,
+        jax.random.PRNGKey(0), m2d, 1e-3)[0])(params)
+    field_g = g["nets"]["field"]
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(field_g["scales"]))
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(field_g["arms"]))
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(g["nets"]["mlp_chcm"]))
+
+
+def test_view_frequency_weights():
+    counts = jnp.asarray([0.0, 10.0, 20.0, 0.0])
+    valid = jnp.asarray([True, True, True, False])
+    w = cat_render.view_frequency_weights(counts, valid)
+    np.testing.assert_allclose(float(w[3]), 1.0)
+    assert float(w[2]) > float(w[1]) > float(w[0])
+
+
+@pytest.mark.slow
+def test_scene_bitstream_roundtrip(tmp_path, state):
+    pcc_params = pcc_model.init_params(jax.random.PRNGKey(5), PCC_CFG)
+    out_dir = str(tmp_path / "bs")
+    sizes, _ = cat_codec.conduct_encoding(state, CFG, out_dir,
+                                          pcc_params, PCC_CFG)
+    assert sizes["triplane"] > 0
+    dec_state, _ = cat_codec.conduct_decoding(state, CFG, out_dir,
+                                              pcc_params, PCC_CFG)
+    data = cat_codec.hac_codec._gather_sorted_attributes(state, CFG.as_hac())
+    n = data["anchor_int"].shape[0]
+    assert int(np.asarray(dec_state["valid"]).sum()) == n
+    # triplanes decode to exactly the quantized latents
+    planes_enc = [np.asarray(p) for p in cat_field.quantized_planes(
+        state["nets"]["field"], CFG.field)]
+    planes_dec = cat_codec.decode_triplanes(state, CFG, out_dir)
+    for a, b in zip(planes_enc, planes_dec):
+        np.testing.assert_array_equal(np.asarray(b), a)
+    # features finite + quantization-bounded
+    got = np.asarray(dec_state["anchors"]["anchor_feat"])[:n]
+    assert np.isfinite(got).all()
+    assert np.abs(got - data["feat"]).max() <= 2.0 * 0.5 + 1e-4
