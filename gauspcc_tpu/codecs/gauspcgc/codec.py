@@ -60,8 +60,10 @@ def _pad_parents(coords: np.ndarray, occ: np.ndarray):
 @partial(jax.jit, static_argnames=("config",))
 def _encode_level(params, config, pc, po, pm, gt_occ):
     """One level, teacher-forced: returns normalized CDF tables and symbols
-    for all four stages plus the child validity mask."""
-    ctx = net.level_context(params, config, pc, po, pm)
+    for all four stages plus the child validity mask. gt_occ's (static)
+    length sets the child capacity."""
+    ctx = net.level_context(params, config, pc, po, pm,
+                            child_cap=gt_occ.shape[0])
     s_gt = net.split_occupancy(gt_occ)
     out = {"mask": ctx["child_mask"]}
     prev = jnp.zeros_like(gt_occ, dtype=jnp.int32)
@@ -78,9 +80,9 @@ def _encode_level(params, config, pc, po, pm, gt_occ):
     return out
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _decode_context(params, config, pc, po, pm):
-    return net.level_context(params, config, pc, po, pm)
+@partial(jax.jit, static_argnames=("config", "child_cap"))
+def _decode_context(params, config, pc, po, pm, child_cap):
+    return net.level_context(params, config, pc, po, pm, child_cap=child_cap)
 
 
 @partial(jax.jit, static_argnames=("stage",))
@@ -124,8 +126,8 @@ def compress_point_cloud(
             # occupancy stored one level up. Handled by the loop structure:
             break
         pc, po, pm = _pad_parents(p_coords, p_occ)
-        cap8 = pc.shape[0] * 8
-        gt_pad = np.zeros(cap8, np.int32)
+        child_cap = min(_bucket(gt_occ.shape[0]), pc.shape[0] * 8)
+        gt_pad = np.zeros(child_cap, np.int32)
         gt_pad[: gt_occ.shape[0]] = gt_occ
         out = _encode_level(params, config, pc, po, pm, jnp.asarray(gt_pad))
 
@@ -196,13 +198,15 @@ def decompress_point_cloud(
     p_occ = base_occ.astype(np.int32)
     for depth in range(n_levels):
         pc, po, pm = _pad_parents(p_coords, p_occ)
-        ctx = _decode_context(params, config, pc, po, pm)
-        mask = np.asarray(ctx["child_mask"])
-        n_valid = int(mask.sum())
+        # number of children = total occupancy popcount (known pre-decode)
+        n_valid = int(np.unpackbits(
+            p_occ.astype(np.uint8)[:, None], axis=1).sum())
+        child_cap = min(_bucket(n_valid), pc.shape[0] * 8)
+        ctx = _decode_context(params, config, pc, po, pm, child_cap)
         # valid children are the first n_valid rows (lex_sort pads last)
         feats, nmap = ctx["feats"], ctx["nmap"]
 
-        prev_np = np.zeros(pc.shape[0] * 8, np.int32)
+        prev_np = np.zeros(child_cap, np.int32)
         decoded = []
         for stage in range(4):
             table = np.asarray(
@@ -210,7 +214,7 @@ def decompress_point_cloud(
             )[:n_valid]
             syms = coder.decode_int16_cdf(table, streams[depth * 4 + stage])
             decoded.append(syms.astype(np.int32))
-            full = np.zeros(pc.shape[0] * 8, np.int32)
+            full = np.zeros(child_cap, np.int32)
             full[:n_valid] = syms
             if stage == 0:
                 prev_np = full

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import optax
 
 from gauspcc_tpu.codecs.gauspcgc import model
-from gauspcc_tpu.codecs.gauspcgc.codec import _pad_parents, MIN_BASE_POINTS
+from gauspcc_tpu.codecs.gauspcgc.codec import _bucket, _pad_parents, MIN_BASE_POINTS
 from gauspcc_tpu.ops import sparse
 from gauspcc_tpu.utils import checkpoint
 
@@ -95,7 +95,8 @@ def pyramid_batches(xyz_int: np.ndarray):
         p_coords, p_occ = levels[d]
         _, gt_occ = levels[d + 1]
         pc, po, pm = _pad_parents(p_coords, p_occ)
-        gt_pad = np.zeros(pc.shape[0] * 8, np.int32)
+        child_cap = min(_bucket(gt_occ.shape[0]), pc.shape[0] * 8)
+        gt_pad = np.zeros(child_cap, np.int32)
         gt_pad[: gt_occ.shape[0]] = gt_occ
         out.append((pc, po, pm, jnp.asarray(gt_pad), gt_occ.shape[0]))
     return out, xyz0.shape[0]

@@ -39,7 +39,7 @@ def _raster_cfg(cam, max_k: int = 256) -> raster.RasterConfig:
 
 def train_scene(
     scene: Scene,
-    cfg: hac.HACConfig,
+    cfg,
     opt: hac_train.OptConfig,
     model_dir: str,
     pcc_params=None,
@@ -49,13 +49,21 @@ def train_scene(
     eval_at_end: bool = True,
     white_background: bool = False,
     logger=None,
+    family=None,
 ):
-    """Train one scene end-to-end; returns (state, results dict)."""
+    """Train one scene end-to-end; returns (state, results dict).
+
+    `family` (models.registry.Family) switches the context model + codec;
+    default is HAC. cfg must be the family's config type."""
+    from gauspcc_tpu.models import registry
+
+    if family is None:
+        family = registry.get_family("hac")
     os.makedirs(model_dir, exist_ok=True)
     log = logger.info if logger else print
 
     points = hac.voxelize_points(scene.points, cfg.voxel_size, seed)
-    state = hac.init_state(jax.random.PRNGKey(seed), cfg, points)
+    state = family.init_state(jax.random.PRNGKey(seed), cfg, points)
     state = hac.update_anchor_bound(state)
     log(f"anchors at init: {points.shape[0]}")
 
@@ -66,7 +74,8 @@ def train_scene(
 
     cams = scene.train_cameras
     rcfg = _raster_cfg(cams[0])
-    step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt)
+    step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt,
+                                        loss_fn=family.training_loss)
     cam_arrays = [hac_render.CameraArrays.from_camera(c) for c in cams]
 
     key = jax.random.PRNGKey(seed + 1)
@@ -78,9 +87,14 @@ def train_scene(
             order = rng.permutation(len(cam_arrays)).tolist()
         cam = cam_arrays[order.pop()]
         key, sub = jax.random.split(key)
+        phase = family.phase_of_step(it)
+        if family.extra_init is not None and phase == 2 and \
+                family.phase_of_step(it - 1) < 2:
+            state = hac.merge_state(params, rest)
+            state = family.extra_init(state, cfg)
+            params, rest = hac.split_state(state)
         params, opt_state, stats, metrics = step_fn(
-            params, rest, opt_state, stats, cam, sub,
-            phase=hac_train.phase_of_step(it),
+            params, rest, opt_state, stats, cam, sub, phase=phase,
         )
         if it % log_every == 0:
             log(
@@ -111,14 +125,15 @@ def train_scene(
 
     results = {}
     if eval_at_end and pcc_params is not None:
-        est, est_log = hac_codec.estimate_final_bits(state, cfg)
-        log(est_log)
+        if family.name == "hac":
+            _, est_log = hac_codec.estimate_final_bits(state, cfg)
+            log(est_log)
         bs_dir = os.path.join(model_dir, "bitstreams")
-        sizes, enc_log = hac_codec.conduct_encoding(
+        sizes, enc_log = family.conduct_encoding(
             state, cfg, bs_dir, pcc_params, pcc_cfg
         )
         log(enc_log)
-        dec_state, dec_log = hac_codec.conduct_decoding(
+        dec_state, dec_log = family.conduct_decoding(
             state, cfg, bs_dir, pcc_params, pcc_cfg
         )
         log(dec_log)
@@ -136,10 +151,11 @@ def train_scene(
     return state, results
 
 
-def render_sets(state, cfg: hac.HACConfig, cameras, out_dir: str,
+def render_sets(state, cfg, cameras, out_dir: str,
                 white_background: bool = False, decoded: bool = False):
     """Render all views; saves PNGs when PIL is available; returns arrays
     + FPS (render_set, HAC/train.py:385-437)."""
+    cfg = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
     os.makedirs(out_dir, exist_ok=True)
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
     renders = []
@@ -157,10 +173,12 @@ def render_sets(state, cfg: hac.HACConfig, cameras, out_dir: str,
     return renders, fps
 
 
-def evaluate(state, cfg: hac.HACConfig, cameras, out_dir: str,
+def evaluate(state, cfg, cameras, out_dir: str,
              white_background: bool = False, decoded: bool = False) -> dict:
     """PSNR/SSIM(/LPIPS when available) against ground-truth views
-    (evaluate, HAC/train.py:496-563)."""
+    (evaluate, HAC/train.py:496-563). Works for every family: the decoded
+    render path only touches the shared scaffold."""
+    cfg = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
     renders, fps = render_sets(state, cfg, cameras, out_dir,
                                white_background, decoded)
     psnrs, ssims, lpipss = [], [], []

@@ -63,6 +63,9 @@ class OptConfig:
 
 
 def make_optimizer(opt: OptConfig, spatial_lr_scale: float):
+    """Per-group Adam; unknown groups (family-specific nets like planes,
+    autoencoder, channel_ctx, field, mlp_attr, mlp_chcm, mlp_triplane)
+    fall back to the mlp_grid schedule."""
     m = opt.iterations
     lrs = {
         "offset": optim.expon_lr(opt.offset_lr_init * spatial_lr_scale,
@@ -89,7 +92,7 @@ def make_optimizer(opt: OptConfig, spatial_lr_scale: float):
         keys = optim.path_key(path)
         if keys[0] == "anchors":
             return keys[1]  # offset/mask/anchor_feat/scaling
-        return keys[1]  # nets -> tables/mlp_*
+        return keys[1] if keys[1] in lrs else "mlp_grid"
 
     return optim.group_adam(lrs, group_of)
 
@@ -113,9 +116,15 @@ def zero_stats(capacity: int, n_offsets: int):
     }
 
 
-def make_train_step(cfg: hac.HACConfig, rcfg: raster.RasterConfig,
-                    optimizer, opt: OptConfig):
-    """Builds the jitted (per-capacity) training step."""
+def make_train_step(cfg, rcfg: raster.RasterConfig,
+                    optimizer, opt: OptConfig, loss_fn=None):
+    """Builds the jitted (per-capacity) training step.
+
+    `loss_fn` defaults to HAC's objective; other families pass theirs
+    (same signature/aux contract: hac_plus.render.training_loss,
+    tcgs.render.training_loss, cat3dgs.render.training_loss)."""
+    if loss_fn is None:
+        loss_fn = hac_render.training_loss
 
     @partial(jax.jit, static_argnames=("phase",))
     def step_fn(params, rest, opt_state, stats, cam, key, phase=0):
@@ -124,7 +133,7 @@ def make_train_step(cfg: hac.HACConfig, rcfg: raster.RasterConfig,
         bg = jnp.zeros(3, jnp.float32)
 
         (loss, aux), (grads, g_m2d) = jax.value_and_grad(
-            hac_render.training_loss, argnums=(0, 8), has_aux=True
+            loss_fn, argnums=(0, 8), has_aux=True
         )(params, rest, cfg, cam, rcfg, bg, phase, key, m2d,
           opt.lmbda, opt.lambda_dssim)
 
