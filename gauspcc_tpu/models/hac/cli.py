@@ -38,17 +38,21 @@ def _load_pcc(args):
 
 
 def cmd_train(args):
-    cfg = hac.HACConfig(
+    from gauspcc_tpu.models import registry
+
+    fam = registry.get_family(args.model)
+    kw = dict(
         feat_dim=args.feat_dim,
         n_offsets=args.n_offsets,
         voxel_size=args.voxel_size,
         update_depth=args.update_depth,
         update_init_factor=args.update_init_factor,
         update_hierachy_factor=args.update_hierachy_factor,
-        log2_hashmap_size=args.log2,
-        log2_hashmap_size_2d=args.log2_2D,
-        n_features_per_level=args.n_features,
     )
+    if args.model in ("hac", "hac_plus"):
+        kw.update(log2_hashmap_size=args.log2, log2_hashmap_size_2d=args.log2_2D,
+                  n_features_per_level=args.n_features)
+    cfg = fam.make_config(**kw)
     opt = hac_train.OptConfig(iterations=args.iterations, lmbda=args.lmbda)
     scene = Scene(args.source_path, eval_split=args.eval,
                   images_dir=args.images,
@@ -57,13 +61,13 @@ def cmd_train(args):
 
     os.makedirs(args.model_path, exist_ok=True)
     json.dump(
-        {"hac": cfg._asdict(), "opt": dataclasses.asdict(opt),
-         "source_path": args.source_path},
+        {"model": args.model, "hac": cfg._asdict(),
+         "opt": dataclasses.asdict(opt), "source_path": args.source_path},
         open(os.path.join(args.model_path, "cfg.json"), "w"), indent=2,
     )
     pipeline.train_scene(
         scene, cfg, opt, args.model_path, pcc_params, pcc_cfg,
-        white_background=args.white_background,
+        white_background=args.white_background, family=fam,
     )
 
 
@@ -111,6 +115,8 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def common(sp):
+        sp.add_argument("--model", default="hac",
+                        choices=("hac", "hac_plus", "tcgs", "cat3dgs"))
         sp.add_argument("-s", "--source_path", default="")
         sp.add_argument("-m", "--model_path", required=True)
         sp.add_argument("--images", default="images")
