@@ -58,12 +58,14 @@ def _pad_parents(coords: np.ndarray, occ: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("config",))
-def _encode_level(params, config, pc, po, pm, gt_occ):
+def _encode_level(params, config, pc, po, pm, gt_occ, parent_nmap=None):
     """One level, teacher-forced: returns normalized CDF tables and symbols
     for all four stages plus the child validity mask. gt_occ's (static)
-    length sets the child capacity."""
+    length sets the child capacity. parent_nmap: reuse of the previous
+    level's child neighbor map (same coords)."""
     ctx = net.level_context(params, config, pc, po, pm,
-                            child_cap=gt_occ.shape[0])
+                            child_cap=gt_occ.shape[0],
+                            parent_nmap=parent_nmap)
     s_gt = net.split_occupancy(gt_occ)
     out = {"mask": ctx["child_mask"]}
     prev = jnp.zeros_like(gt_occ, dtype=jnp.int32)
@@ -77,12 +79,14 @@ def _encode_level(params, config, pc, po, pm, gt_occ):
             prev = prev * 2 + s_gt[1]
         elif stage == 2:
             prev = prev * 4 + s_gt[2]
+    out["nmap"] = ctx["nmap"]
     return out
 
 
 @partial(jax.jit, static_argnames=("config", "child_cap"))
-def _decode_context(params, config, pc, po, pm, child_cap):
-    return net.level_context(params, config, pc, po, pm, child_cap=child_cap)
+def _decode_context(params, config, pc, po, pm, child_cap, parent_nmap=None):
+    return net.level_context(params, config, pc, po, pm, child_cap=child_cap,
+                             parent_nmap=parent_nmap)
 
 
 @partial(jax.jit, static_argnames=("stage",))
@@ -116,6 +120,8 @@ def compress_point_cloud(
     levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
 
     streams: list[bytes] = []
+    prev_nmap = None
+    prev_child_cap = None
     for depth in range(len(levels)):
         p_coords, p_occ = levels[depth]
         if depth + 1 < len(levels):
@@ -129,7 +135,11 @@ def compress_point_cloud(
         child_cap = min(_bucket(gt_occ.shape[0]), pc.shape[0] * 8)
         gt_pad = np.zeros(child_cap, np.int32)
         gt_pad[: gt_occ.shape[0]] = gt_occ
-        out = _encode_level(params, config, pc, po, pm, jnp.asarray(gt_pad))
+        reuse = prev_nmap if prev_child_cap == pc.shape[0] else None
+        out = _encode_level(params, config, pc, po, pm, jnp.asarray(gt_pad),
+                            parent_nmap=reuse)
+        prev_nmap = out["nmap"]
+        prev_child_cap = child_cap
 
         n_valid = int(gt_occ.shape[0])
         mask = np.asarray(out["mask"])
@@ -196,13 +206,19 @@ def decompress_point_cloud(
 
     p_coords = base_coords.astype(np.int32)
     p_occ = base_occ.astype(np.int32)
+    prev_nmap = None
+    prev_child_cap = None
     for depth in range(n_levels):
         pc, po, pm = _pad_parents(p_coords, p_occ)
         # number of children = total occupancy popcount (known pre-decode)
         n_valid = int(np.unpackbits(
             p_occ.astype(np.uint8)[:, None], axis=1).sum())
         child_cap = min(_bucket(n_valid), pc.shape[0] * 8)
-        ctx = _decode_context(params, config, pc, po, pm, child_cap)
+        reuse = prev_nmap if prev_child_cap == pc.shape[0] else None
+        ctx = _decode_context(params, config, pc, po, pm, child_cap,
+                              parent_nmap=reuse)
+        prev_nmap = ctx["nmap"]
+        prev_child_cap = child_cap
         # valid children are the first n_valid rows (lex_sort pads last)
         feats, nmap = ctx["feats"], ctx["nmap"]
 

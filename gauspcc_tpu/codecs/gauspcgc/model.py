@@ -167,13 +167,20 @@ def merge_occupancy(s0, s1, s2, s3):
 # ---------------------------------------------------------------------------
 
 def level_context(params: Params, config: NetConfig, parent_coords,
-                  parent_occ, parent_mask, child_cap: int | None = None):
+                  parent_occ, parent_mask, child_cap: int | None = None,
+                  parent_nmap: sparse.NeighborMap | None = None):
     """Shared parent->child context computation for one pyramid level.
 
     parent_* arrays are padded to capacity Np. Children are lex-sorted
     (valid first) and, when `child_cap` is given (static), compacted to
     that capacity — real occupancy averages well under 8 children/parent,
     so this cuts the child-level compute/memory ~4x vs the naive 8*Np.
+
+    `parent_nmap` skips rebuilding the parent neighbor map: in a
+    coarse-to-fine sweep, level d's child coords ARE level d+1's parent
+    coords (same lex order, same capacity bucket), so the child map
+    returned here is the next level's parent map for free.
+
     Returns the sorted child arrays, the child features after
     target_resnet, and the child neighbor map (reused by all four stages).
     """
@@ -181,7 +188,7 @@ def level_context(params: Params, config: NetConfig, parent_coords,
 
     pf = params["prior_embedding"][jnp.clip(parent_occ.astype(jnp.int32), 0, 255)]
     pf = jnp.where(parent_mask[:, None], pf, 0.0)
-    p_nmap = sparse.build_neighbor_map(
+    p_nmap = parent_nmap if parent_nmap is not None else sparse.build_neighbor_map(
         parent_coords, parent_mask, parent_coords, parent_mask, k
     )
     pf = _conv_stack(params["prior_resnet"], pf, p_nmap)

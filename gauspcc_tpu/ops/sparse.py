@@ -173,49 +173,98 @@ def build_neighbor_map(
     mask_s: jax.Array,
     kernel_size: int,
 ) -> NeighborMap:
-    """Vectorized 3-lane lexicographic binary search neighbor lookup.
+    """Neighbor lookup via one binary search per (dz, dy) plane-row.
 
-    For every query voxel and kernel offset, finds the source row whose
-    coordinates equal query+offset (or marks a miss). Pure int32: no
-    64-bit keys, no coordinate-extent assumptions, negative coords fine.
-    Kernel offsets are processed in chunks under lax.map so peak HBM stays
-    O(Nq * chunk) instead of O(Nq * K^3).
+    Sources are lex-sorted (z, y, x): all kernel taps sharing (dz, dy)
+    land in one contiguous run of the sorted order, so a single
+    lower_bound at (z+dz, y+dy, x-r) followed by an inspection of the
+    next `kernel_size` entries resolves ALL `kernel_size` x-offsets of
+    that row — K^2 searches instead of K^3, the dominant gather cost.
+    Within the search, (y, x) are packed into one int32 lane (their local
+    span always fits 31 bits after min-shift), halving compare gathers.
+    Pure int32 throughout; negative coords fine.
     """
-    k3 = kernel_size ** 3
+    k = kernel_size
+    r = k // 2
+    k3 = k**3
     nq = coords_q.shape[0]
     ns = coords_s.shape[0]
 
     order = lex_sort(coords_s, mask_s)
     s_sorted = coords_s[order]
-    # invalidate padded rows so no query can match them
-    sz = jnp.where(mask_s[order], s_sorted[:, 2], _I32_MAX)
-    sy = jnp.where(mask_s[order], s_sorted[:, 1], _I32_MAX)
-    sx = jnp.where(mask_s[order], s_sorted[:, 0], _I32_MAX)
+    valid_s = mask_s[order]
+    sz = jnp.where(valid_s, s_sorted[:, 2], _I32_MAX)
+    sy = jnp.where(valid_s, s_sorted[:, 1], _I32_MAX)
+    sx = jnp.where(valid_s, s_sorted[:, 0], _I32_MAX)
+
+    # pack (y, x) into one int32 lane for the search: spans are local
+    # (min-shifted), so X * Y < 2^31 for any realistic level
+    def mn(a, m):
+        return jnp.min(jnp.where(m, a, _I32_MAX))
+
+    x0 = jnp.minimum(mn(coords_s[:, 0], mask_s), mn(coords_q[:, 0], mask_q)) - r
+    y0 = jnp.minimum(mn(coords_s[:, 1], mask_s), mn(coords_q[:, 1], mask_q)) - r
+    xspan = (
+        jnp.maximum(
+            jnp.max(jnp.where(mask_s, coords_s[:, 0], -_I32_MAX)),
+            jnp.max(jnp.where(mask_q, coords_q[:, 0], -_I32_MAX)),
+        )
+        - x0 + 2 * r + 2
+    )
+    syx = jnp.where(valid_s, (sy - y0) * xspan + (sx - x0), _I32_MAX)
 
     n_bits = max(1, int(np.ceil(np.log2(max(ns, 2)))))
+    qz_base = coords_q[:, 2]
+    qy_base = coords_q[:, 1]
+    qx_base = coords_q[:, 0]
 
-    def lookup(offset):  # offset [3] -> (idx [Nq], valid [Nq])
-        qz = coords_q[:, 2] + offset[2]
-        qy = coords_q[:, 1] + offset[1]
-        qx = coords_q[:, 0] + offset[0]
+    def row_lookup(dzdy):  # [2] -> (idx [K, Nq], valid [K, Nq])
+        dz, dy = dzdy[0], dzdy[1]
+        qz = qz_base + dz
+        qyx = (qy_base + dy - y0) * xspan + (qx_base - r - x0)
+        # lower_bound over (z, packed yx)
         lo = jnp.zeros(nq, jnp.int32)
         for b in range(n_bits - 1, -1, -1):
             cand = lo + (1 << b)
             in_b = cand <= ns
             probe = jnp.clip(cand - 1, 0, ns - 1)
-            less = _lex_less(sz[probe], sy[probe], sx[probe], qz, qy, qx)
+            pz = sz[probe]
+            less = (pz < qz) | ((pz == qz) & (syx[probe] < qyx))
             lo = jnp.where(in_b & less, cand, lo)
-        probe = jnp.clip(lo, 0, ns - 1)
-        found = (
-            (sz[probe] == qz) & (sy[probe] == qy) & (sx[probe] == qx)
-            & (lo < ns) & mask_q
-        )
-        idx = jnp.where(found, order[probe], 0).astype(jnp.int32)
-        return idx, found
 
-    offs = jnp.asarray(kernel_offsets(kernel_size))  # [K3, 3]
-    idx, valid = jax.lax.map(lookup, offs, batch_size=min(k3, 16))
-    return NeighborMap(idx=idx, valid=valid)
+        # inspect the K consecutive entries: entry lo+i matches x-offset
+        # dx = sx[lo+i] - qx when z/y agree and |dx| <= r
+        idx_row = jnp.zeros((k, nq), jnp.int32)
+        val_row = jnp.zeros((k, nq), bool)
+        for i in range(k):
+            pos = jnp.clip(lo + i, 0, ns - 1)
+            ok = (
+                (sz[pos] == qz)
+                & (sy[pos] == qy_base + dy)
+                & (lo + i < ns)
+                & mask_q
+            )
+            dx = sx[pos] - qx_base  # in [-r, r] when a true neighbor
+            src = order[pos]
+            for dxbin in range(k):
+                hit = ok & (dx == dxbin - r)
+                idx_row = idx_row.at[dxbin].set(
+                    jnp.where(hit, src, idx_row[dxbin])
+                )
+                val_row = val_row.at[dxbin].set(val_row[dxbin] | hit)
+        return idx_row, val_row
+
+    # (dz, dy) rows with dz outer, dy inner — so reshape(k3) reproduces the
+    # kernel_offsets enumeration (x fastest, then y, then z)
+    rr = np.arange(k) - r
+    zz, yy = np.meshgrid(rr, rr, indexing="ij")
+    rows = jnp.asarray(np.stack([zz.reshape(-1), yy.reshape(-1)], -1))
+    idx, valid = jax.lax.map(
+        row_lookup, rows, batch_size=min(k * k, 9)
+    )  # [K2, K, Nq]
+    return NeighborMap(
+        idx=idx.reshape(k3, nq), valid=valid.reshape(k3, nq)
+    )
 
 
 def sparse_conv_apply(
