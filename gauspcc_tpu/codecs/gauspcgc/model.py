@@ -22,7 +22,6 @@ because coded bits must round-trip through the host coder between stages.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import numpy as np

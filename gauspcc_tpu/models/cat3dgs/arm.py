@@ -16,7 +16,6 @@ native coder — scalar work stays off-chip by design.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import numpy as np
 import jax

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from gauspcc_tpu.core import entropy
-from gauspcc_tpu.core.nn import dense, mlp2, mlp2_init
+from gauspcc_tpu.core.nn import mlp2, mlp2_init
 from gauspcc_tpu.core.quant import ste_round, uniform_noise_quant
 from gauspcc_tpu.fields import hashgrid
 

@@ -11,11 +11,8 @@ rewrites the buffers + Adam moments, re-bucketing capacity when needed.
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -212,6 +212,10 @@ def build_neighbor_map(
         - x0 + 2 * r + 2
     )
     syx = jnp.where(valid_s, (sy - y0) * xspan + (sx - x0), _I32_MAX)
+    # fuse the search lanes and the window lanes so each probe step is one
+    # row gather instead of 2-4 scalar-lane gathers
+    search_tab = jnp.stack([sz, syx], axis=1)  # [Ns, 2]
+    window_tab = jnp.stack([sz, sy, sx, order], axis=1)  # [Ns, 4]
 
     n_bits = max(1, int(np.ceil(np.log2(max(ns, 2)))))
     qz_base = coords_q[:, 2]
@@ -228,8 +232,8 @@ def build_neighbor_map(
             cand = lo + (1 << b)
             in_b = cand <= ns
             probe = jnp.clip(cand - 1, 0, ns - 1)
-            pz = sz[probe]
-            less = (pz < qz) | ((pz == qz) & (syx[probe] < qyx))
+            row = search_tab[probe]  # [Nq, 2]
+            less = (row[:, 0] < qz) | ((row[:, 0] == qz) & (row[:, 1] < qyx))
             lo = jnp.where(in_b & less, cand, lo)
 
         # inspect the K consecutive entries: entry lo+i matches x-offset
@@ -238,14 +242,15 @@ def build_neighbor_map(
         val_row = jnp.zeros((k, nq), bool)
         for i in range(k):
             pos = jnp.clip(lo + i, 0, ns - 1)
+            w = window_tab[pos]  # [Nq, 4]
             ok = (
-                (sz[pos] == qz)
-                & (sy[pos] == qy_base + dy)
+                (w[:, 0] == qz)
+                & (w[:, 1] == qy_base + dy)
                 & (lo + i < ns)
                 & mask_q
             )
-            dx = sx[pos] - qx_base  # in [-r, r] when a true neighbor
-            src = order[pos]
+            dx = w[:, 2] - qx_base  # in [-r, r] when a true neighbor
+            src = w[:, 3]
             for dxbin in range(k):
                 hit = ok & (dx == dxbin - r)
                 idx_row = idx_row.at[dxbin].set(
@@ -260,7 +265,7 @@ def build_neighbor_map(
     zz, yy = np.meshgrid(rr, rr, indexing="ij")
     rows = jnp.asarray(np.stack([zz.reshape(-1), yy.reshape(-1)], -1))
     idx, valid = jax.lax.map(
-        row_lookup, rows, batch_size=min(k * k, 9)
+        row_lookup, rows, batch_size=min(k * k, 25)
     )  # [K2, K, Nq]
     return NeighborMap(
         idx=idx.reshape(k3, nq), valid=valid.reshape(k3, nq)

@@ -10,7 +10,6 @@ one jitted program serves every device.
 
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 import jax

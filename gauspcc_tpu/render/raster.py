@@ -30,7 +30,6 @@ sorted). Raise for eval-quality renders.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import numpy as np
