@@ -28,6 +28,9 @@ def test_registry_families_resolve():
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name,cfg_kw", [
+    ("hac_plus", dict(feat_dim=10, n_offsets=3, voxel_size=0.05,
+                      resolutions_3d=(6, 10, 16), resolutions_2d=(16, 32),
+                      log2_hashmap_size=13, log2_hashmap_size_2d=13)),
     ("tcgs", dict(feat_dim=8, n_offsets=3, voxel_size=0.05, tri_feat=4,
                   tri_res=16, tri_samples=2, ae_compressed=4)),
     ("cat3dgs", dict(feat_dim=8, n_offsets=3, voxel_size=0.05,
