@@ -52,11 +52,15 @@ def cmd_train(args):
     if args.model in ("hac", "hac_plus"):
         kw.update(log2_hashmap_size=args.log2, log2_hashmap_size_2d=args.log2_2D,
                   n_features_per_level=args.n_features)
-    cfg = fam.make_config(**kw)
-    opt = hac_train.OptConfig(iterations=args.iterations, lmbda=args.lmbda)
     scene = Scene(args.source_path, eval_split=args.eval,
                   images_dir=args.images,
                   white_background=args.white_background)
+    if args.model == "hac_plus":
+        # the reference picks the tiny channel context for Synthetic-NeRF
+        # scenes (transforms_train.json presence, HAC-plus/train.py:84,96)
+        kw["tiny_ctx"] = scene.is_blender
+    cfg = fam.make_config(**kw)
+    opt = hac_train.OptConfig(iterations=args.iterations, lmbda=args.lmbda)
     pcc_params, pcc_cfg = _load_pcc(args)
 
     os.makedirs(args.model_path, exist_ok=True)

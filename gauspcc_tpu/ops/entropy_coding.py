@@ -140,6 +140,69 @@ def decode_gaussian_mixed(means, scales, probs, q, file_name: str) -> jax.Array:
     return (jnp.asarray(sym.astype(np.float32)) + rmin + center) * q
 
 
+def encode_factorized(params, x, q, file_name: str) -> int:
+    """Arithmetic-encode [N, C] values under the fully-factorized (Balle)
+    model (parity: encoder_factorized, encodings_cuda.py:57-117): one CDF
+    row per channel over the global symbol range, evaluated on device via
+    factorized_logits_cumulative, broadcast to all rows of that channel."""
+    from gauspcc_tpu.core import entropy as entropy_lib
+
+    x = jnp.asarray(x)
+    assert x.ndim == 2
+    n, c = x.shape
+    sym = np.asarray(jnp.round(x / q).astype(jnp.int32))
+    if sym.size == 0:
+        payload = np.uint32(0).tobytes()
+        min_v = max_v = 0
+    else:
+        min_v = int(sym.min())
+        max_v = int(sym.max())
+        lp = max_v - min_v + 2
+        samples = (jnp.arange(lp, dtype=jnp.float32) + (min_v - 0.5)) * q
+        samples = jnp.broadcast_to(samples[None, None, :], (c, 1, lp))
+        logits = entropy_lib.factorized_logits_cumulative(params, samples)
+        cdf = jax.nn.sigmoid(logits)[:, 0, :]  # [C, Lp], monotone in symbol
+        cdf = jnp.clip(
+            (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1e-9),
+            0.0, 1.0,
+        )
+        table_c = np.asarray(cdf_lib.normalize_cdf_int16(cdf))  # [C, Lp]
+        table = np.broadcast_to(table_c[None], (n, c, lp)).reshape(n * c, lp)
+        payload = coder.encode_int16_cdf(
+            np.ascontiguousarray(table), (sym.reshape(-1) - min_v).astype(np.int16)
+        )
+    with open(file_name, "wb") as f:
+        f.write(np.float32(min_v).tobytes())
+        f.write(np.float32(max_v).tobytes())
+        f.write(payload)
+    return (len(payload) + 8) * 8
+
+
+def decode_factorized(params, n: int, c: int, q, file_name: str) -> jax.Array:
+    """Inverse of encode_factorized; returns float32 [N, C]."""
+    from gauspcc_tpu.core import entropy as entropy_lib
+
+    with open(file_name, "rb") as f:
+        min_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        max_v = int(np.frombuffer(f.read(4), dtype=np.float32)[0])
+        payload = f.read()
+    if n * c == 0:
+        return jnp.zeros((n, c), jnp.float32)
+    lp = max_v - min_v + 2
+    samples = (jnp.arange(lp, dtype=jnp.float32) + (min_v - 0.5)) * q
+    samples = jnp.broadcast_to(samples[None, None, :], (c, 1, lp))
+    logits = entropy_lib.factorized_logits_cumulative(params, samples)
+    cdf = jax.nn.sigmoid(logits)[:, 0, :]
+    cdf = jnp.clip(
+        (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1e-9),
+        0.0, 1.0,
+    )
+    table_c = np.asarray(cdf_lib.normalize_cdf_int16(cdf))
+    table = np.broadcast_to(table_c[None], (n, c, lp)).reshape(n * c, lp)
+    sym = coder.decode_int16_cdf(np.ascontiguousarray(table), payload)
+    return (jnp.asarray(sym.astype(np.float32)).reshape(n, c) + min_v) * q
+
+
 def encode_binary(x01, file_name: str) -> int:
     """Encode a {0,1} tensor with a single global p1 (encoder, :435-464)."""
     x = _to_np(x01).reshape(-1).astype(np.float32)

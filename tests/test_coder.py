@@ -129,3 +129,20 @@ def test_empty_input(tmp_path):
     ec.encode_gaussian(jnp.zeros(0), jnp.zeros(0), jnp.ones(0), 1.0, fn)
     dec = ec.decode_gaussian(jnp.zeros(0), jnp.ones(0), 1.0, fn)
     assert dec.shape == (0,)
+
+
+def test_factorized_file_roundtrip(tmp_path):
+    import jax
+    from gauspcc_tpu.core import entropy as entropy_lib
+
+    rng = np.random.default_rng(12)
+    c = 6
+    params = entropy_lib.init_factorized_params(jax.random.PRNGKey(0), channels=c)
+    n = 4000
+    q = 0.5
+    x_q = np.round(rng.normal(0, 2.0, (n, c)) / q) * q
+    fn = str(tmp_path / "f.b")
+    bits = ec.encode_factorized(params, jnp.asarray(x_q.astype(np.float32)), q, fn)
+    assert bits > 0
+    dec = np.asarray(ec.decode_factorized(params, n, c, q, fn))
+    np.testing.assert_allclose(dec, x_q, atol=1e-4)
