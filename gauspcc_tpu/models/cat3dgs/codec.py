@@ -45,6 +45,11 @@ def _batch_chcm(state, cfg: cat.CATConfig, feat_partial, i):
     return cat.chcm_slice_stats(state, cfg, feat_partial, i)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _chcm_adjust(state, cfg: cat.CATConfig, hyper, feat_q):
+    return cat.chcm_adjust(state, cfg, hyper, feat_q)
+
+
 def encode_triplanes(state, cfg: cat.CATConfig, out_dir: str) -> int:
     """STE-quantize all plane latents and ARM-wavefront-encode them.
     Returns total bits."""
@@ -129,6 +134,10 @@ def conduct_encoding(state, cfg: cat.CATConfig, out_dir: str,
                 jnp.asarray(q_full[:, sl].reshape(-1)),
                 os.path.join(out_dir, f"feat_{s}_{i}.b"))
 
+        hyper = jax.tree_util.tree_map(
+            np.asarray,
+            _chcm_adjust(state, cfg, jax.tree_util.tree_map(jnp.asarray, hyper),
+                         jnp.asarray(feat_q)))
         scal = np.asarray(ste_multistep(
             jnp.asarray(data["scaling"][lo:hi]), jnp.asarray(hyper["q_scaling"]),
             jnp.float32(means["scaling"]))).reshape(-1)
@@ -235,6 +244,11 @@ def conduct_decoding(state, cfg: cat.CATConfig, out_dir: str,
             feat_dec[:, sl] = np.asarray(vals).reshape(b, bounds[i + 1] - bounds[i])
         feat_list.append(feat_dec)
 
+        hyper = jax.tree_util.tree_map(
+            np.asarray,
+            _chcm_adjust(dec_state, cfg,
+                         jax.tree_util.tree_map(jnp.asarray, hyper),
+                         jnp.asarray(feat_dec)))
         q_s = np.broadcast_to(hyper["q_scaling"], (b, 6)).reshape(-1)
         scal = ec.decode_gaussian(
             hyper["mean_scaling"].reshape(-1),

@@ -31,6 +31,8 @@ class CATConfig(NamedTuple):
     update_init_factor: int = 16
     update_hierachy_factor: int = 4
     chcm_slices: tuple = (25, 25)
+    chcm_for_offsets: bool = False
+    chcm_for_scaling: bool = False
     tri_feat: int = 1
     base_resolution: int = 64
     multiscale: tuple = (1, 2, 4)
@@ -90,6 +92,14 @@ def init_state(key, cfg: CATConfig, points: np.ndarray,
             mlp2_init(ks[i], in_dim, 2 * cfg.feat_dim,
                       2 * cfg.chcm_slices[i + 1])
         )
+    if cfg.chcm_for_offsets:
+        key, sub = jax.random.split(key)
+        nets["mlp_chcm_offsets"] = mlp2_init(
+            sub, cfg.feat_dim, 2 * cfg.feat_dim, 6 * cfg.n_offsets)
+    if cfg.chcm_for_scaling:
+        key, sub = jax.random.split(key)
+        nets["mlp_chcm_scaling"] = mlp2_init(
+            sub, cfg.feat_dim, 2 * cfg.feat_dim, 12)
     return state
 
 
@@ -127,6 +137,24 @@ def hyper_split(state: hac.State, cfg: CATConfig, anchor: jax.Array,
         "q_scaling": cfg.q_scaling * (1 + jnp.tanh(qs)),
         "q_offsets": cfg.q_offsets * (1 + jnp.tanh(qo)),
     }
+
+
+def chcm_adjust(state: hac.State, cfg: CATConfig, hyper: dict,
+                feat_q: jax.Array) -> dict:
+    """Additive (mean, scale) adjustments for offsets/scaling conditioned on
+    the (de)coded features (CAT gaussian_model.py:1107-1109, off by default).
+    Returns a hyper dict with adjusted stats."""
+    out = dict(hyper)
+    k = cfg.n_offsets
+    if cfg.chcm_for_offsets:
+        d = mlp2(state["nets"]["mlp_chcm_offsets"], feat_q)
+        out["mean_offsets"] = hyper["mean_offsets"] + d[:, : 3 * k]
+        out["scale_offsets"] = hyper["scale_offsets"] + d[:, 3 * k :]
+    if cfg.chcm_for_scaling:
+        d = mlp2(state["nets"]["mlp_chcm_scaling"], feat_q)
+        out["mean_scaling"] = hyper["mean_scaling"] + d[:, :6]
+        out["scale_scaling"] = hyper["scale_scaling"] + d[:, 6:]
+    return out
 
 
 def chcm_slice_stats(state: hac.State, cfg: CATConfig, feat_q: jax.Array,

@@ -75,6 +75,7 @@ def training_loss(params, rest, cfg: cat.CATConfig, cam, rcfg, bg_color,
         grid_offsets = uniform_noise_quant(
             anchors["offset"], hyper["q_offsets"][:, None, :], k3)
 
+        hyper = cat.chcm_adjust(state, cfg, hyper, feat)
         f_mean, f_scale = cat.feature_stats(state, cfg, hyper, feat)
         bit_feat = entropy.gaussian_bits(
             feat, f_mean, f_scale, hyper["q_feat"],

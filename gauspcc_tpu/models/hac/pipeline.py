@@ -88,10 +88,14 @@ def train_scene(
         cam = cam_arrays[order.pop()]
         key, sub = jax.random.split(key)
         phase = family.phase_of_step(it)
-        if family.extra_init is not None and phase == 2 and \
-                family.phase_of_step(it - 1) < 2:
+        if phase == 2 and family.phase_of_step(it - 1) < 2:
+            # re-fit the context AABB to the densified anchors before the
+            # rate phase (the reference's update_anchor_bound at step 10000,
+            # gaussian_renderer/__init__.py:57-58) + family extras (PCA fit)
             state = hac.merge_state(params, rest)
-            state = family.extra_init(state, cfg)
+            state = hac.update_anchor_bound(state)
+            if family.extra_init is not None:
+                state = family.extra_init(state, cfg)
             params, rest = hac.split_state(state)
         params, opt_state, stats, metrics = step_fn(
             params, rest, opt_state, stats, cam, sub, phase=phase,

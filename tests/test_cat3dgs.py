@@ -127,3 +127,30 @@ def test_scene_bitstream_roundtrip(tmp_path, state):
     got = np.asarray(dec_state["anchors"]["anchor_feat"])[:n]
     assert np.isfinite(got).all()
     assert np.abs(got - data["feat"]).max() <= 2.0 * 0.5 + 1e-4
+
+
+def test_chcm_offset_scaling_heads_roundtrip(tmp_path):
+    """With the optional chcm offsets/scaling adjustment heads enabled, the
+    scene bitstream still round-trips (decode regenerates the adjusted
+    stats from the decoded features)."""
+    cfg = CFG._replace(chcm_for_offsets=True, chcm_for_scaling=True)
+    rng = np.random.default_rng(9)
+    pts = hac.voxelize_points(
+        (rng.random((250, 3)) * 2 - 1).astype(np.float32), cfg.voxel_size)
+    st = cat.init_state(jax.random.PRNGKey(4), cfg, pts)
+    st = hac.update_anchor_bound(st)
+    st = cat.set_pca_frame(st, cfg)
+    a = dict(st["anchors"])
+    n = pts.shape[0]
+    a["anchor_feat"] = a["anchor_feat"].at[:n].set(
+        jnp.asarray(rng.normal(0, 0.5, (n, cfg.feat_dim)).astype(np.float32)))
+    st = dict(st, anchors=a)
+
+    pcc_params = pcc_model.init_params(jax.random.PRNGKey(5), PCC_CFG)
+    out_dir = str(tmp_path / "bs")
+    sizes, _ = cat_codec.conduct_encoding(st, cfg, out_dir, pcc_params, PCC_CFG)
+    dec_state, _ = cat_codec.conduct_decoding(st, cfg, out_dir, pcc_params, PCC_CFG)
+    got = np.asarray(dec_state["anchors"]["scaling"])
+    assert np.isfinite(got).all()
+    data = cat_codec.hac_codec._gather_sorted_attributes(st, cfg.as_hac())
+    assert int(np.asarray(dec_state["valid"]).sum()) == data["anchor_int"].shape[0]
