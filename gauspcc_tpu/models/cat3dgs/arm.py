@@ -195,45 +195,28 @@ def decode_plane(params: dict, stream: bytes) -> np.ndarray:
 
     Host loop over waves: each wave batches ARM inference over its pixels
     (their contexts are fully decoded by construction of the skewed order)
-    and re-decodes the growing symbol prefix with the native coder. The
-    re-decode is O(n_waves * n) total — ~0.2 s for a 128x128 plane — and
-    keeps the native coder API stream-at-a-time; a stateful incremental
-    decoder is a later optimization.
+    and the native coder's incremental decoder consumes the stream O(n)
+    total, one wave of CDF rows at a time.
     """
     from gauspcc_tpu.ops import coder as coder_lib
 
     h, w, rmin, rmax = (int(v) for v in np.frombuffer(stream[:16], np.int32))
     payload = stream[16:]
-    lp = rmax - rmin + 2
     n_total = h * w
 
     pad = MASK_SIZE // 2
     padded = np.zeros((h + 2 * pad, w + 2 * pad), np.float32)
     waves = coding_waves(h, w)
+    dec = coder_lib.IncrementalDecoder(payload, n_total)
 
-    # uniform rows stand in for not-yet-computed tables so the full-stream
-    # decoder can run; symbols past the prefix decode to garbage we ignore
-    uniform_row = (
-        np.round(np.linspace(0, 2.0**16 - (lp - 1), lp)).astype(np.int64)
-        + np.arange(lp)
-    ).astype(np.uint16)
-    table = np.broadcast_to(uniform_row, (n_total, lp)).copy()
-
-    n_done = 0
-    decoded = np.zeros(n_total, np.int16)
+    out = np.zeros((h, w), np.float32)
     for ii, jj in waves:
         ctx = _ctx_np(padded, ii, jj)
         raw = _arm_apply_np(params, ctx)
         mu, scale = _mu_scale_np(raw)
-        table[n_done : n_done + ii.size] = _laplace_table_np(mu, scale, rmin, rmax)
-        n_done += ii.size
-        decoded = coder_lib.decode_int16_cdf(table, payload)
-        vals = decoded[n_done - ii.size : n_done].astype(np.float32) + rmin
+        syms = dec.decode(_laplace_table_np(mu, scale, rmin, rmax))
+        vals = syms.astype(np.float32) + rmin
         padded[ii + pad, jj + pad] = vals
-
-    out = np.zeros((h, w), np.float32)
-    k0 = 0
-    for ii, jj in waves:
-        out[ii, jj] = decoded[k0 : k0 + ii.size].astype(np.float32) + rmin
-        k0 += ii.size
+        out[ii, jj] = vals
+    dec.close()
     return out

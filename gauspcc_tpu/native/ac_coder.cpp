@@ -262,3 +262,110 @@ int32_t ac_decode(const uint16_t* cdf, int64_t N, int32_t Lp,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Incremental (stateful) decoder: consumes a stream sequentially in caller-
+// sized batches whose CDF rows are only known progressively (autoregressive
+// models — e.g. the CAT-3DGS wavefront latent decode, where wave w's
+// probabilities depend on waves < w). Chunk boundaries are handled by
+// re-initializing the bit reader at each chunk's offset.
+// ---------------------------------------------------------------------------
+
+struct AcDecState {
+  std::vector<uint8_t> payload;
+  std::vector<int64_t> offsets;  // per-chunk byte offsets (n_chunks + 1)
+  int64_t chunk_size;
+  int64_t n_total;
+  int64_t pos = 0;  // symbols decoded so far
+  // live chunk coder state
+  int64_t chunk = -1;
+  BitReader reader{nullptr, 0};
+  uint32_t low = 0, high = 0, value = 0;
+};
+
+extern "C" {
+
+AcDecState* ac_dec_create(const uint8_t* payload, int64_t payload_len,
+                          const int64_t* chunk_lens, int64_t n_chunks,
+                          int64_t chunk_size, int64_t n_total) {
+  auto* st = new AcDecState();
+  st->payload.assign(payload, payload + payload_len);
+  st->offsets.resize(n_chunks + 1);
+  st->offsets[0] = 0;
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    st->offsets[c + 1] = st->offsets[c] + chunk_lens[c];
+  }
+  st->chunk_size = chunk_size;
+  st->n_total = n_total;
+  return st;
+}
+
+// Decode `count` further symbols; cdf holds their rows [count, Lp].
+// Returns number decoded (or -1 on misuse).
+int64_t ac_dec_next(AcDecState* st, const uint16_t* cdf, int32_t lp,
+                    int64_t count, int16_t* out) {
+  if (st == nullptr || lp < 2 || count < 0) return -1;
+  if (st->pos + count > st->n_total) return -1;
+  const int max_symbol = lp - 2;
+
+  for (int64_t i = 0; i < count; ++i) {
+    const int64_t chunk = st->pos / st->chunk_size;
+    if (chunk != st->chunk) {
+      st->chunk = chunk;
+      st->reader = BitReader{st->payload.data() + st->offsets[chunk],
+                             st->offsets[chunk + 1] - st->offsets[chunk]};
+      st->low = 0;
+      st->high = 0xFFFFFFFFu;
+      st->value = 0;
+      st->reader.initialize(st->value);
+    }
+    const uint16_t* row = cdf + i * lp;
+    const uint64_t span = static_cast<uint64_t>(st->high) - st->low + 1;
+    const uint16_t target = static_cast<uint16_t>(
+        ((static_cast<uint64_t>(st->value) - st->low + 1) * kCdfTop - 1) / span);
+
+    int left = 0;
+    int right = max_symbol + 1;
+    while (left + 1 < right) {
+      const int m = (left + right) / 2;
+      const uint16_t v = row[m];
+      if (v < target) {
+        left = m;
+      } else if (v > target) {
+        right = m;
+      } else {
+        left = m;
+        break;
+      }
+    }
+    const int s = left;
+    out[i] = static_cast<int16_t>(s);
+
+    const uint64_t c_low = row[s];
+    const uint64_t c_high = (s == max_symbol) ? kCdfTop : row[s + 1];
+    st->high = static_cast<uint32_t>(
+        (st->low - 1) + ((span * c_high) >> kPrecision));
+    st->low = static_cast<uint32_t>(st->low + ((span * c_low) >> kPrecision));
+
+    while (true) {
+      if (st->low >= 0x80000000u || st->high < 0x80000000u) {
+        st->low <<= 1;
+        st->high = (st->high << 1) | 1u;
+        st->reader.get(st->value);
+      } else if (st->low >= 0x40000000u && st->high < 0xC0000000u) {
+        st->low = (st->low << 1) & 0x7FFFFFFFu;
+        st->high = (st->high << 1) | 0x80000001u;
+        st->value -= 0x40000000u;
+        st->reader.get(st->value);
+      } else {
+        break;
+      }
+    }
+    st->pos += 1;
+  }
+  return count;
+}
+
+void ac_dec_free(AcDecState* st) { delete st; }
+
+}  // extern "C"

@@ -67,8 +67,76 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.ac_dec_create.restype = ctypes.c_void_p
+        lib.ac_dec_create.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.ac_dec_next.restype = ctypes.c_int64
+        lib.ac_dec_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_int32, ctypes.c_int64, ctypes.POINTER(ctypes.c_int16),
+        ]
+        lib.ac_dec_free.restype = None
+        lib.ac_dec_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
+
+
+class IncrementalDecoder:
+    """Stateful sequential decoder over a stream produced by
+    encode_int16_cdf. Feed CDF rows progressively (autoregressive decode:
+    each batch's rows may depend on previously decoded symbols)."""
+
+    def __init__(self, stream: bytes, n_total: int,
+                 chunk_size: int = DEFAULT_CHUNK_SIZE):
+        self._lib = _load()
+        n_chunks = int(np.frombuffer(stream[:4], dtype=np.uint32)[0])
+        expect = (n_total + chunk_size - 1) // chunk_size
+        if n_total > 0 and n_chunks != expect:
+            raise ValueError(f"stream has {n_chunks} chunks, expected {expect}")
+        chunk_lens = np.frombuffer(
+            stream[4 : 4 + 4 * n_chunks], dtype=np.uint32
+        ).astype(np.int64)
+        payload = np.frombuffer(stream[4 + 4 * n_chunks :], dtype=np.uint8)
+        payload = np.ascontiguousarray(payload)
+        self._handle = self._lib.ac_dec_create(
+            payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            payload.size,
+            chunk_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_chunks, chunk_size, n_total,
+        )
+        self._remaining = n_total
+
+    def decode(self, cdf_u16: np.ndarray) -> np.ndarray:
+        """Decode the next cdf_u16.shape[0] symbols."""
+        cdf_u16 = np.ascontiguousarray(cdf_u16, dtype=np.uint16)
+        count, lp = cdf_u16.shape
+        if count > self._remaining:
+            raise ValueError("decoding past end of stream")
+        out = np.empty(count, dtype=np.int16)
+        rc = self._lib.ac_dec_next(
+            self._handle,
+            cdf_u16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            lp, count,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        )
+        if rc != count:
+            raise ValueError("incremental decode failed")
+        self._remaining -= count
+        return out
+
+    def close(self):
+        if self._handle:
+            self._lib.ac_dec_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def _n_threads() -> int:

@@ -146,3 +146,23 @@ def test_factorized_file_roundtrip(tmp_path):
     assert bits > 0
     dec = np.asarray(ec.decode_factorized(params, n, c, q, fn))
     np.testing.assert_allclose(dec, x_q, atol=1e-4)
+
+
+def test_incremental_decoder_matches_batch():
+    rng = np.random.default_rng(13)
+    n = 150_000  # crosses chunk boundaries
+    probs = _random_probs(rng, n, 8)
+    sym = rng.integers(0, 8, size=n).astype(np.int16)
+    table = np.asarray(cdf_lib.probs_to_cdf_int16(jnp.asarray(probs)))
+    stream = coder.encode_int16_cdf(table, sym)
+
+    dec = coder.IncrementalDecoder(stream, n)
+    outs = []
+    pos = 0
+    rng2 = np.random.default_rng(14)
+    while pos < n:
+        step = min(int(rng2.integers(1, 7000)), n - pos)
+        outs.append(dec.decode(table[pos:pos + step]))
+        pos += step
+    dec.close()
+    np.testing.assert_array_equal(np.concatenate(outs), sym)
