@@ -1,27 +1,30 @@
 """Pallas TPU kernel for the per-tile alpha-blend stage of the rasterizer.
 
-STATUS: EXPERIMENTAL — numerically verified against the reference blend in
-interpret mode (tests/test_pallas_blend.py), but the Mosaic compiler on
-this toolchain rejects the compiled kernel with a scoped-vmem accounting
-overflow (~107 MB reported for ~5 MB of live [256, K] temporaries;
-"It should not be possible to run out of scoped vmem"). The pure-XLA
-blend in render/raster.py remains the production path — it already maps
-the color contraction onto the MXU and fuses the elementwise work; this
-kernel exists to fuse across XLA's fusion boundaries once the compiler
-issue is resolved (or the kernel is restructured around K-chunked loops).
+Optional fused path for render/raster.py's blend: the gather of per-tile
+Gaussian records stays in XLA (gathers don't vectorize inside Mosaic);
+this kernel fuses everything after it — per-pixel alpha evaluation, the
+sequential transmittance product, the color contraction on the MXU, and
+the background composite — into one VMEM-resident program per tile.
 
-Design: the gather of per-tile Gaussian records stays in XLA (gathers
-don't vectorize inside Mosaic), and this kernel fuses everything after it
-— per-pixel alpha evaluation, the exclusive log-transmittance prefix sum
-(as an MXU matmul against a triangular mask: Mosaic has no cumsum), the
-[256, K] x [K, 4] color contraction, and the background composite — into
-one VMEM-resident program per tile.
+The depth loop runs in K-chunks of 32 with a carried log-transmittance:
+Mosaic's scoped-vmem accounting charges ~430x one [256, KCHUNK] live
+temporary against the 16 MB budget, so the single-shot [256, K]
+formulation (and KCHUNK >= 128) fails to compile; at KCHUNK=32 the kernel
+compiles and runs on a v5e chip. Within a chunk the exclusive prefix sum
+is an MXU matmul against a strict-upper-triangular mask (Mosaic has no
+cumsum lowering).
 
 Record layout per Gaussian (8 lanes):
   [mx, my, conic_a, conic_b, conic_c, opacity, tile_origin_x, tile_origin_y]
-(the origin lanes repeat per row — TPU block specs can't carry a [T, 2]
-scalar table, so the origin rides in the record pad lanes).
-Colors ride separately as [K, 4] (rgb + zero pad). Outputs [256, 4].
+(the origin rides in the pad lanes — TPU block specs can't carry a [T, 2]
+scalar table). Colors ride separately as [K, 4] (rgb + pad). Output
+[256, 4] per tile (lane 3 = pad).
+
+Verified against the reference blend in interpret mode
+(tests/test_pallas_blend.py) and executed on a real v5e chip (256 tiles x
+K=256). Kept as an optional path: the pure-XLA blend in render/raster.py
+remains the default until the two are benchmarked head-to-head at render
+resolution.
 """
 
 from __future__ import annotations
@@ -35,54 +38,70 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 PIX = TILE * TILE
+KCHUNK = 32
 
 
 def _blend_kernel(rec_ref, col_ref, bg_ref, tri_ref, out_ref):
-    # rec [1, K, 8] f32; col [1, K, 4] f32; bg [1, 4] f32; out [1, 256, 4]
+    # rec [1, K, 8]; col [1, K, 4]; bg [1, 4]; tri [KCHUNK, KCHUNK] strict
+    # upper-triangular ones (i < j); out [1, 256, 4]
     ox = rec_ref[0, 0, 6]
     oy = rec_ref[0, 0, 7]
+    k = rec_ref.shape[1]
+    n_chunks = k // KCHUNK
 
     row = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
     px = ox + jnp.remainder(row, TILE).astype(jnp.float32)  # x fastest
     py = oy + (row // TILE).astype(jnp.float32)
 
-    rec = rec_ref[0]  # [K, 8]
-    mx = rec[:, 0][None, :]  # [1, K]
-    my = rec[:, 1][None, :]
-    ca = rec[:, 2][None, :]
-    cb = rec[:, 3][None, :]
-    cc = rec[:, 4][None, :]
-    opa = rec[:, 5][None, :]
+    def body(c, carry):
+        acc, log_t = carry  # [256, 4], [256, 1]
+        rec = rec_ref[0, pl.ds(c * KCHUNK, KCHUNK), :]  # [KC, 8]
+        col = col_ref[0, pl.ds(c * KCHUNK, KCHUNK), :]  # [KC, 4]
+        mx = rec[:, 0][None, :]
+        my = rec[:, 1][None, :]
+        ca = rec[:, 2][None, :]
+        cb = rec[:, 3][None, :]
+        cc = rec[:, 4][None, :]
+        opa = rec[:, 5][None, :]
 
-    dx = px - mx  # [256, K]
-    dy = py - my
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    alpha = jnp.minimum(0.99, opa * jnp.exp(jnp.minimum(power, 0.0)))
-    alpha = jnp.where(alpha >= (1.0 / 255.0), alpha, 0.0)
+        dx = px - mx  # [256, KC]
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(0.99, opa * jnp.exp(jnp.minimum(power, 0.0)))
+        alpha = jnp.where(alpha >= (1.0 / 255.0), alpha, 0.0)
 
-    log1ma = jnp.log1p(-alpha)
-    # inclusive prefix-sum along K as an MXU matmul (Mosaic has no cumsum):
-    # csum[p, j] = sum_{i <= j} log1ma[p, i]; tri is precomputed outside
-    csum = jnp.dot(log1ma, tri_ref[:, :], preferred_element_type=jnp.float32)
-    t_before = jnp.exp(csum - log1ma)
-    w = jnp.where(t_before >= 1e-4, alpha * t_before, 0.0)  # [256, K]
+        log1ma = jnp.log1p(-alpha)
+        # exclusive within-chunk prefix + carried log transmittance
+        csum_excl = jnp.dot(log1ma, tri_ref[:, :],
+                            preferred_element_type=jnp.float32)
+        t_before = jnp.exp(log_t + csum_excl)
+        w = jnp.where(t_before >= 1e-4, alpha * t_before, 0.0)
+        acc = acc + jnp.dot(w, col, preferred_element_type=jnp.float32)
+        log_t = log_t + jnp.sum(log1ma, axis=-1, keepdims=True)
+        return acc, log_t
 
-    rgb = jnp.dot(w, col_ref[0], preferred_element_type=jnp.float32)
-    t_final = jnp.exp(jnp.sum(log1ma, axis=-1, keepdims=True))
-    out_ref[0] = rgb + t_final * bg_ref[0, :][None, :]
+    acc0 = jnp.zeros((PIX, 4), jnp.float32)
+    log_t0 = jnp.zeros((PIX, 1), jnp.float32)
+    acc, log_t = jax.lax.fori_loop(0, n_chunks, body, (acc0, log_t0))
+    out_ref[0] = acc + jnp.exp(log_t) * bg_ref[0, :][None, :]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def blend_tiles(origins, records, colors, bg, interpret: bool = False):
     """origins [T, 2] f32; records [T, K, 8] (lanes 6/7 overwritten with the
-    origin); colors [T, K, 4]; bg [4].
+    origin); colors [T, K, 4]; bg [4]. K must be a multiple of KCHUNK
+    (pad with zero-opacity records).
 
-    Returns [T, 256, 4] blended tiles (alpha channel = garbage pad).
+    Returns [T, 256, 4] blended tiles (lane 3 = pad).
     """
     t, k, _ = records.shape
+    assert k % KCHUNK == 0, f"K={k} must be a multiple of {KCHUNK}"
     records = records.at[:, :, 6:8].set(origins[:, None, :])
     bg2 = jnp.broadcast_to(bg[None, :], (1, 4)).astype(jnp.float32)
-    tri = (jnp.arange(k)[:, None] <= jnp.arange(k)[None, :]).astype(jnp.float32)
+    # strict upper-triangular (i < j): exclusive prefix sum
+    tri = (jnp.arange(KCHUNK)[:, None] < jnp.arange(KCHUNK)[None, :]).astype(
+        jnp.float32
+    )
 
     return pl.pallas_call(
         _blend_kernel,
@@ -93,7 +112,8 @@ def blend_tiles(origins, records, colors, bg, interpret: bool = False):
             pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((KCHUNK, KCHUNK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, PIX, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -33,7 +33,7 @@ def _reference(origins, records, colors, bg):
 
 def test_blend_matches_reference():
     rng = np.random.default_rng(0)
-    t, k = 3, 16
+    t, k = 3, pallas_blend.KCHUNK
     origins = (rng.integers(0, 4, (t, 2)) * 16).astype(np.float32)
     records = np.zeros((t, k, 8), np.float32)
     records[:, :, 0] = origins[:, 0:1] + rng.uniform(0, 16, (t, k))  # mx
