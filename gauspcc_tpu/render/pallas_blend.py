@@ -21,10 +21,12 @@ scalar table). Colors ride separately as [K, 4] (rgb + pad). Output
 [256, 4] per tile (lane 3 = pad).
 
 Verified against the reference blend in interpret mode
-(tests/test_pallas_blend.py) and executed on a real v5e chip (256 tiles x
-K=256). Kept as an optional path: the pure-XLA blend in render/raster.py
-remains the default until the two are benchmarked head-to-head at render
-resolution.
+(tests/test_pallas_blend.py) and executed on a real v5e chip. Head-to-head
+at 784x1168 with 200k Gaussians and saturated K=256 tiles: XLA blend
+694 ms/frame vs this kernel 1305 ms/frame (identical outputs) — the
+KCHUNK=32 serialization the vmem budget forces underuses the MXU, so the
+XLA blend remains the default. Revisit if Mosaic's scoped-vmem accounting
+admits wider chunks.
 """
 
 from __future__ import annotations

@@ -47,6 +47,7 @@ class RasterConfig(NamedTuple):
     max_tiles_per_gaussian: int = 32  # D
     max_gaussians_per_tile: int = 256  # K
     tile_chunk: int = 256  # tiles per lax.map step
+    use_pallas_blend: bool = False  # fused eval-only blend (no autodiff)
 
     @property
     def tiles_x(self) -> int:
@@ -281,15 +282,42 @@ def rasterize(
         rgb = rgb + t_final[:, :, None] * bg_color[None, None, :]
         return rgb  # [C, 256, 3]
 
-    all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
-    pad_tiles = (-n_tiles) % cfg.tile_chunk
-    all_tiles = jnp.concatenate(
-        [all_tiles, jnp.zeros(pad_tiles, jnp.int32)]
-    ).reshape(-1, cfg.tile_chunk)
-    # remat: recompute per-chunk alphas in the backward pass instead of
-    # saving [B, C, 256, K] residuals (HBM would blow up otherwise)
-    chunks = jax.lax.map(jax.checkpoint(render_tiles), all_tiles)  # [B, C, 256, 3]
-    tiles = chunks.reshape(-1, TILE, TILE, 3)[:n_tiles]
+    if cfg.use_pallas_blend:
+        # fused Pallas path (eval-only: pallas_call has no autodiff here);
+        # gather all per-tile records in one shot, blend in one kernel
+        from gauspcc_tpu.render import pallas_blend
+
+        kc = pallas_blend.KCHUNK
+        k_pad = ((k + kc - 1) // kc) * kc
+        tids = jnp.arange(n_tiles, dtype=jnp.int32)
+        starts = tile_start[tids]
+        take = jnp.minimum(tile_start[tids + 1] - starts, k)
+        gidx = pair_gauss[jnp.clip(
+            starts[:, None] + jnp.arange(k)[None, :], 0, pair_gauss.shape[0] - 1
+        )]  # [T, K]
+        gmask = jnp.arange(k)[None, :] < take[:, None]
+        records = jnp.zeros((n_tiles, k_pad, 8), jnp.float32)
+        records = records.at[:, :k, 0:2].set(mean2d[gidx])
+        records = records.at[:, :k, 2:5].set(proj.conic[gidx])
+        records = records.at[:, :k, 5].set(
+            jnp.where(gmask, opa[gidx], 0.0))
+        cols4 = jnp.zeros((n_tiles, k_pad, 4), jnp.float32)
+        cols4 = cols4.at[:, :k, :3].set(colors[gidx])
+        origins = jnp.stack(
+            [tx[tids % cfg.tiles_x], ty[tids // cfg.tiles_x]], axis=-1)
+        bg4 = jnp.concatenate([bg_color, jnp.zeros(1)])
+        tiles = pallas_blend.blend_tiles(origins, records, cols4, bg4)
+        tiles = tiles[:, :, :3].reshape(-1, TILE, TILE, 3)
+    else:
+        all_tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+        pad_tiles = (-n_tiles) % cfg.tile_chunk
+        all_tiles = jnp.concatenate(
+            [all_tiles, jnp.zeros(pad_tiles, jnp.int32)]
+        ).reshape(-1, cfg.tile_chunk)
+        # remat: recompute per-chunk alphas in the backward pass instead of
+        # saving [B, C, 256, K] residuals (HBM would blow up otherwise)
+        chunks = jax.lax.map(jax.checkpoint(render_tiles), all_tiles)  # [B, C, 256, 3]
+        tiles = chunks.reshape(-1, TILE, TILE, 3)[:n_tiles]
 
     img = tiles.reshape(cfg.tiles_y, cfg.tiles_x, TILE, TILE, 3)
     img = img.transpose(0, 2, 1, 3, 4).reshape(

@@ -51,3 +51,39 @@ def test_blend_matches_reference():
         jnp.asarray(bg), interpret=True))
     want = _reference(origins, records, colors, bg)
     np.testing.assert_allclose(got[:, :, :3], want[:, :, :3], rtol=2e-4, atol=2e-5)
+
+
+def test_rasterize_pallas_path_matches_xla_interpret(monkeypatch):
+    """Full rasterize with use_pallas_blend (interpret mode on CPU) matches
+    the XLA blend path."""
+    import jax
+    from gauspcc_tpu.render import pallas_blend, raster
+
+    orig = pallas_blend.blend_tiles
+
+    def interp_blend(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pallas_blend, "blend_tiles", interp_blend)
+
+    rng = np.random.default_rng(1)
+    n = 40
+    means = (rng.random((n, 3)) * 1.2 - 0.6).astype(np.float32)
+    means[:, 2] += 5.0
+    colors = rng.random((n, 3)).astype(np.float32)
+    opac = np.full((n, 1), 0.7, np.float32)
+    scales = np.full((n, 3), 0.15, np.float32)
+    rots = np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    view = jnp.eye(4)
+    bg = jnp.asarray([0.2, 0.1, 0.0])
+
+    cfg_x = raster.RasterConfig(48, 64, 0.5, 0.5, max_gaussians_per_tile=64)
+    cfg_p = cfg_x._replace(use_pallas_blend=True)
+    args = dict(means3d=jnp.asarray(means), colors=jnp.asarray(colors),
+                opacities=jnp.asarray(opac), scales=jnp.asarray(scales),
+                rotations=jnp.asarray(rots), viewmatrix=view, bg_color=bg)
+    img_x, _ = raster.rasterize(cfg=cfg_x, **args)
+    img_p, _ = raster.rasterize(cfg=cfg_p, **args)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=2e-4, atol=2e-5)
