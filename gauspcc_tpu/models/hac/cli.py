@@ -69,10 +69,21 @@ def cmd_train(args):
          "opt": dataclasses.asdict(opt), "source_path": args.source_path},
         open(os.path.join(args.model_path, "cfg.json"), "w"), indent=2,
     )
-    pipeline.train_scene(
-        scene, cfg, opt, args.model_path, pcc_params, pcc_cfg,
-        white_background=args.white_background, family=fam,
-    )
+    gui = None
+    if args.gui:
+        from gauspcc_tpu.utils.network_gui import NetworkGUI
+
+        gui = NetworkGUI(args.ip, args.port)
+    try:
+        pipeline.train_scene(
+            scene, cfg, opt, args.model_path, pcc_params, pcc_cfg,
+            white_background=args.white_background, family=fam,
+            start_checkpoint=args.start_checkpoint,
+            checkpoint_every=args.checkpoint_every, gui=gui,
+        )
+    finally:
+        if gui is not None:
+            gui.close()
 
 
 def cmd_eval(args):
@@ -143,6 +154,14 @@ def main(argv=None):
     t.add_argument("--lmbda", type=float, default=1e-3)
     t.add_argument("--eval", action="store_true", default=True)
     t.add_argument("--white_background", action="store_true")
+    t.add_argument("--start_checkpoint", default=None,
+                   help="resume from a train_ckpt.pkl snapshot")
+    t.add_argument("--checkpoint_every", type=int, default=0,
+                   help="write train_ckpt.pkl every N iterations")
+    t.add_argument("--gui", action="store_true",
+                   help="serve the SIBR remote-viewer protocol while training")
+    t.add_argument("--ip", default="127.0.0.1")
+    t.add_argument("--port", type=int, default=6009)
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval")

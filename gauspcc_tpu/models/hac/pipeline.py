@@ -50,39 +50,64 @@ def train_scene(
     white_background: bool = False,
     logger=None,
     family=None,
+    start_checkpoint: str | None = None,
+    checkpoint_every: int = 0,
+    gui=None,
+    stop_at: int | None = None,
 ):
     """Train one scene end-to-end; returns (state, results dict).
 
     `family` (models.registry.Family) switches the context model + codec;
-    default is HAC. cfg must be the family's config type."""
+    default is HAC. cfg must be the family's config type.
+
+    `start_checkpoint`: resume a snapshot written by `checkpoint_every > 0`
+    (params + optimizer state + stats + iteration + rng streams), parity
+    with HAC/train.py:108-110,250-252. `gui`: a utils.network_gui.NetworkGUI
+    polled every iteration (HAC/train.py:122-136)."""
     from gauspcc_tpu.models import registry
 
     if family is None:
         family = registry.get_family("hac")
     os.makedirs(model_dir, exist_ok=True)
     log = logger.info if logger else print
-
-    points = hac.voxelize_points(scene.points, cfg.voxel_size, seed)
-    state = family.init_state(jax.random.PRNGKey(seed), cfg, points)
-    state = hac.update_anchor_bound(state)
-    log(f"anchors at init: {points.shape[0]}")
+    ckpt_path = os.path.join(model_dir, "train_ckpt.pkl")
 
     optimizer = hac_train.make_optimizer(opt, scene.cameras_extent)
-    params, rest = hac.split_state(state)
-    opt_state = optimizer.init(params)
-    stats = hac_train.zero_stats(rest["valid"].shape[0], cfg.n_offsets)
-
     cams = scene.train_cameras
     rcfg = _raster_cfg(cams[0])
-    step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt,
-                                        loss_fn=family.training_loss)
     cam_arrays = [hac_render.CameraArrays.from_camera(c) for c in cams]
 
-    key = jax.random.PRNGKey(seed + 1)
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(len(cam_arrays)).tolist()
+    if start_checkpoint:
+        snap = checkpoint.load_training_checkpoint(start_checkpoint)
+        params, rest, opt_state, stats = (
+            snap["params"], snap["rest"], snap["opt_state"], snap["stats"]
+        )
+        key = jnp.asarray(snap["key"])
+        rng = snap["rng"]
+        order = list(snap["order"])
+        first_it = snap["iteration"] + 1
+        log(f"resumed from {start_checkpoint} at iteration {snap['iteration']}")
+    else:
+        points = hac.voxelize_points(scene.points, cfg.voxel_size, seed)
+        state = family.init_state(jax.random.PRNGKey(seed), cfg, points)
+        state = hac.update_anchor_bound(state)
+        log(f"anchors at init: {points.shape[0]}")
+        params, rest = hac.split_state(state)
+        opt_state = optimizer.init(params)
+        stats = hac_train.zero_stats(rest["valid"].shape[0], cfg.n_offsets)
+        key = jax.random.PRNGKey(seed + 1)
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(cam_arrays)).tolist()
+        first_it = 1
+
+    step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt,
+                                        loss_fn=family.training_loss)
+
+    last_it = min(opt.iterations, stop_at) if stop_at else opt.iterations
     t0 = time.time()
-    for it in range(1, opt.iterations + 1):
+    for it in range(first_it, last_it + 1):
+        if gui is not None:
+            _poll_gui(gui, hac.merge_state(params, rest), cfg, model_dir)
         if not order:
             order = rng.permutation(len(cam_arrays)).tolist()
         cam = cam_arrays[order.pop()]
@@ -105,7 +130,7 @@ def train_scene(
                 f"iter {it}: loss {float(metrics['loss']):.4f} "
                 f"psnr {float(metrics['psnr']):.2f} "
                 f"bpp {float(metrics['bit_per_param']):.4f} "
-                f"({(time.time()-t0)/it:.3f} s/it)"
+                f"({(time.time()-t0)/(it - first_it + 1):.3f} s/it)"
             )
         # densification (train.py:229-240; paused 3000-4000 to settle Q)
         densify = (
@@ -123,6 +148,13 @@ def train_scene(
             if it % (opt.update_interval * 10) == 0:
                 log(f"iter {it}: anchors {info['n_anchors']} "
                     f"(+{info['n_added']}/-{info['n_pruned']})")
+        if checkpoint_every and it % checkpoint_every == 0:
+            checkpoint.save_training_checkpoint(ckpt_path, {
+                "params": params, "rest": rest, "opt_state": opt_state,
+                "stats": stats, "iteration": it, "key": key, "rng": rng,
+                "order": list(order),
+            })
+            log(f"iter {it}: checkpoint -> {ckpt_path}")
 
     state = hac.merge_state(params, rest)
     checkpoint.save_pytree(os.path.join(model_dir, "model.npz"), state)
@@ -209,6 +241,44 @@ def evaluate(state, cfg, cameras, out_dir: str,
         "fps": fps,
         "per_view": per_view,
     }
+
+
+def _poll_gui(gui, state, cfg, verify: str) -> None:
+    """Serve the SIBR remote viewer between training steps
+    (HAC/train.py:122-136): render the requested camera and keep serving
+    while the viewer has training paused (do_training=False)."""
+    from gauspcc_tpu.utils import network_gui
+
+    while gui.try_connect():
+        try:
+            cam_dict, do_training, keep_alive, _scale = gui.receive()
+            img_bytes = None
+            if cam_dict is not None:
+                wvt = cam_dict["world_view_transform"]
+                cc = np.linalg.inv(wvt)[3, :3]
+                cam = hac_render.CameraArrays(
+                    viewmatrix=jnp.asarray(wvt),
+                    camera_center=jnp.asarray(cc),
+                    image=jnp.zeros(
+                        (3, cam_dict["height"], cam_dict["width"]), jnp.float32
+                    ),
+                )
+                rcfg = raster.RasterConfig(
+                    height=cam_dict["height"], width=cam_dict["width"],
+                    tanfovx=float(np.tan(cam_dict["fovx"] * 0.5)),
+                    tanfovy=float(np.tan(cam_dict["fovy"] * 0.5)),
+                    max_gaussians_per_tile=256,
+                )
+                out = hac_render.render_view(
+                    state, cfg, cam, rcfg, jnp.zeros(3)
+                )
+                img_bytes = network_gui.image_to_bytes(np.asarray(out["render"]))
+            gui.send(img_bytes, verify)
+            if do_training or not keep_alive:
+                break
+        except Exception:
+            gui.disconnect()
+            break
 
 
 def _save_png(img_chw: np.ndarray, path: str) -> None:
