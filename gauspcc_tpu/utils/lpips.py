@@ -81,8 +81,38 @@ def make_lpips(weights: dict):
     return lpips
 
 
-def load_default_lpips(path: str = _DEFAULT_PATH):
-    """Returns a jitted lpips fn, or raises if no weights file exists."""
+def load_default_lpips(path: str | None = None):
+    """Returns a jitted lpips fn, or raises if no weights file exists.
+
+    Resolution order: explicit `path` arg, $GAUSPCC_LPIPS_WEIGHTS, then
+    gauspcc_tpu/utils/lpips_vgg.npz."""
+    if path is None:
+        path = os.environ.get("GAUSPCC_LPIPS_WEIGHTS", _DEFAULT_PATH)
     data = np.load(path)
     weights = {k: jnp.asarray(data[k]) for k in data.files}
     return make_lpips(weights)
+
+
+def random_weights(seed: int = 0) -> dict:
+    """Random-but-fixed VGG16+lin weights with the exact real layout.
+
+    Proves the metric plumbing (shape/layout/jit) without pretrained
+    weights; numbers are NOT perceptual. Save with np.savez to produce a
+    loadable weights file for tests or air-gapped smoke runs.
+    """
+    rng = np.random.default_rng(seed)
+    weights = {}
+    cin = 3
+    ci = 0
+    for cout, n_convs in _BLOCKS:
+        for _ in range(n_convs):
+            std = np.sqrt(2.0 / (9 * cin))
+            weights[f"conv{ci}_w"] = rng.normal(
+                0, std, (3, 3, cin, cout)
+            ).astype(np.float32)
+            weights[f"conv{ci}_b"] = np.zeros(cout, np.float32)
+            cin = cout
+            ci += 1
+    for j, (cout, _) in enumerate(_BLOCKS):
+        weights[f"lin{j}_w"] = rng.uniform(0, 1, cout).astype(np.float32)
+    return weights
