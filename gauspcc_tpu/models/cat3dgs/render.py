@@ -22,14 +22,63 @@ from gauspcc_tpu.render import raster
 from gauspcc_tpu.utils import image as img_lib
 
 
-def phase_of_step(step: int, fit_iter: int = 10_000) -> int:
-    """0: scaffold warm-up; 1: base-Q noise; 2: joint RD (after the PCA
-    fit at `fit_iter`, CAT train.py:200-212)."""
+FIT_ITER = 10_000
+
+
+def phase_of_step(step: int, fit_iter: int = FIT_ITER) -> int:
+    """CAT's dedicated training phases (train.py:235-238 rate-only window,
+    :279-317 per-phase optimizer gating):
+
+      0: scaffold warm-up (<=3000)
+      1: scaffold + mask reg (<=fit_iter; PCA fit happens at the 1->2 edge)
+      2: joint RD, ARMs frozen              [fit, fit+5000)
+      3: rate-only (loss = ARM latent bits), only ARMs train  [+5000, +6000)
+      4: joint RD, triplane latents frozen  [+6000, +9000)
+      5: joint RD, everything trains        [+9000, ...)
+
+    Phases >= 2 all run the RD objective; the freeze sets are applied by
+    :func:`grad_mask` (the JAX analogue of the reference's four optimizers
+    stepping selectively)."""
     if step <= 3000:
         return 0
     if step <= fit_iter:
         return 1
-    return 2
+    if step <= fit_iter + 5000:
+        return 2
+    if step <= fit_iter + 6000:
+        return 3
+    if step <= fit_iter + 9000:
+        return 4
+    return 5
+
+
+def _zero_tree(tree):
+    return jax.tree_util.tree_map(jnp.zeros_like, tree)
+
+
+def grad_mask(grads, phase: int):
+    """Freeze parameter groups per phase (CAT train.py:279-317):
+    phase 2 freezes the ARMs; phase 3 trains ONLY the ARMs; phase 4
+    freezes the triplane latents. `phase` is static under jit so the
+    masking costs nothing at runtime."""
+    if phase not in (2, 3, 4):
+        return grads
+    grads = dict(grads)
+    nets = dict(grads["nets"])
+    field = dict(nets["field"])
+    if phase == 2:
+        field["arms"] = _zero_tree(field["arms"])
+    elif phase == 3:
+        arms = field["arms"]
+        grads = _zero_tree(grads)
+        nets = dict(grads["nets"])
+        field = dict(nets["field"])
+        field["arms"] = arms
+    elif phase == 4:
+        field["scales"] = _zero_tree(field["scales"])
+    nets["field"] = field
+    grads["nets"] = nets
+    return grads
 
 
 def weighted_mask(state, weights: jax.Array | None):
@@ -44,12 +93,13 @@ def weighted_mask(state, weights: jax.Array | None):
 
 def training_loss(params, rest, cfg: cat.CATConfig, cam, rcfg, bg_color,
                   phase, key, means2d_extra, lmbda: float,
-                  mask_weights=None, lambda_dssim: float = 0.2):
+                  lambda_dssim: float = 0.2, mask_weights=None):
     state = hac.merge_state(params, rest)
     base = cfg.as_hac()
     visible = hac_render.prefilter_voxel(state, base, cam, rcfg)
 
     rate_total = None
+    arm_rate = None
     if phase < 2:
         ng, _ = hac.generate_neural_gaussians(
             state, base, cam.camera_center, visible,
@@ -93,6 +143,7 @@ def training_loss(params, rest, cfg: cat.CATConfig, cam, rcfg, bg_color,
             state["nets"]["field"], cfg.field, planes_q)
         denom = jnp.maximum(jnp.sum(sel), 1.0) * (
             cfg.feat_dim + 6 + 3 * k)
+        arm_rate = arm_bits / denom
         rate_total = (
             jnp.sum(bit_feat) + jnp.sum(bit_scaling) + jnp.sum(bit_offsets)
             + arm_bits
@@ -122,9 +173,17 @@ def training_loss(params, rest, cfg: cat.CATConfig, cam, rcfg, bg_color,
         jnp.sum(vmask), 1.0)
     loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - ssim_v)
     loss = loss + 0.01 * scaling_reg
+    if phase >= 1:
+        # mask reg from iter 3000 with coeff max(1e-3, 0.3*lmbda)
+        # (CAT train.py:230-233)
+        loss = loss + max(1e-3, 0.3 * lmbda) * jnp.mean(
+            jax.nn.sigmoid(state["anchors"]["mask"]))
     if rate_total is not None:
         loss = loss + lmbda * rate_total
-        loss = loss + 5e-4 * jnp.mean(jax.nn.sigmoid(state["anchors"]["mask"]))
+    if phase == 3:
+        # dedicated 1000-iter rate-only window: the objective is the ARM
+        # latent rate alone (CAT train.py:235-236 `loss = feat_rate_per_param`)
+        loss = arm_rate
     aux = {
         "l1": l1, "ssim": ssim_v, "psnr": img_lib.psnr(img, gt),
         "radii": radii, "visible_anchor": visible,

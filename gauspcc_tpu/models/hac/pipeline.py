@@ -101,7 +101,8 @@ def train_scene(
         first_it = 1
 
     step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt,
-                                        loss_fn=family.training_loss)
+                                        loss_fn=family.training_loss,
+                                        grad_mask=family.grad_mask)
 
     last_it = min(opt.iterations, stop_at) if stop_at else opt.iterations
     t0 = time.time()
@@ -113,7 +114,7 @@ def train_scene(
         cam = cam_arrays[order.pop()]
         key, sub = jax.random.split(key)
         phase = family.phase_of_step(it)
-        if phase == 2 and family.phase_of_step(it - 1) < 2:
+        if phase >= 2 and family.phase_of_step(it - 1) < 2:
             # re-fit the context AABB to the densified anchors before the
             # rate phase (the reference's update_anchor_bound at step 10000,
             # gaussian_renderer/__init__.py:57-58) + family extras (PCA fit)

@@ -114,12 +114,14 @@ def zero_stats(capacity: int, n_offsets: int):
 
 
 def make_train_step(cfg, rcfg: raster.RasterConfig,
-                    optimizer, opt: OptConfig, loss_fn=None):
+                    optimizer, opt: OptConfig, loss_fn=None, grad_mask=None):
     """Builds the jitted (per-capacity) training step.
 
     `loss_fn` defaults to HAC's objective; other families pass theirs
     (same signature/aux contract: hac_plus.render.training_loss,
-    tcgs.render.training_loss, cat3dgs.render.training_loss)."""
+    tcgs.render.training_loss, cat3dgs.render.training_loss).
+    `grad_mask(grads, phase)` freezes family-specific parameter groups
+    per phase (CAT's selective optimizer stepping, train.py:279-317)."""
     if loss_fn is None:
         loss_fn = hac_render.training_loss
 
@@ -134,6 +136,8 @@ def make_train_step(cfg, rcfg: raster.RasterConfig,
         )(params, rest, cfg, cam, rcfg, bg, phase, key, m2d,
           opt.lmbda, opt.lambda_dssim)
 
+        if grad_mask is not None:
+            grads = grad_mask(grads, phase)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 

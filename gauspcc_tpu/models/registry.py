@@ -22,6 +22,7 @@ class Family:
     conduct_encoding: Callable
     conduct_decoding: Callable
     extra_init: Callable | None = None  # e.g. CAT's PCA frame fit
+    grad_mask: Callable | None = None  # per-phase parameter freezes (CAT)
 
 
 def get_family(name: str) -> Family:
@@ -58,6 +59,7 @@ def get_family(name: str) -> Family:
             render.training_loss, render.phase_of_step,
             codec.conduct_encoding, codec.conduct_decoding,
             extra_init=model.set_pca_frame,
+            grad_mask=render.grad_mask,
         )
     raise ValueError(f"unknown model family: {name!r} "
                      "(choose hac, hac_plus, tcgs, cat3dgs)")

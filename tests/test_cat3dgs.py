@@ -97,6 +97,70 @@ def test_training_loss_and_grads(state):
                for l in jax.tree_util.tree_leaves(g["nets"]["mlp_chcm"]))
 
 
+def test_phase_schedule_windows():
+    """Phase edges match CAT train.py:235-238 (rate-only window) and
+    :279-317 (freeze windows) with fit_iter=10000."""
+    assert cat_render.phase_of_step(3000) == 0
+    assert cat_render.phase_of_step(3001) == 1
+    assert cat_render.phase_of_step(10_000) == 1
+    assert cat_render.phase_of_step(10_001) == 2
+    assert cat_render.phase_of_step(15_000) == 2
+    assert cat_render.phase_of_step(15_001) == 3
+    assert cat_render.phase_of_step(16_000) == 3
+    assert cat_render.phase_of_step(16_001) == 4
+    assert cat_render.phase_of_step(19_000) == 4
+    assert cat_render.phase_of_step(19_001) == 5
+
+
+def test_rate_only_phase_loss_and_grad_mask(state):
+    """Phase 3: loss is the ARM latent rate alone; grad_mask lets only the
+    ARM parameters update (reference steps feature_arm_optimizer only)."""
+    params, rest = hac.split_state(state)
+    rcfg = raster.RasterConfig(32, 32, 0.5, 0.5, max_gaussians_per_tile=32)
+    cam = hac_render.CameraArrays(
+        viewmatrix=jnp.eye(4), camera_center=jnp.zeros(3),
+        image=jnp.zeros((3, 32, 32)))
+    m2d = jnp.zeros((rest["valid"].shape[0] * CFG.n_offsets, 2))
+
+    def loss3(p):
+        return cat_render.training_loss(
+            p, rest, CFG, cam, rcfg, jnp.zeros(3), 3,
+            jax.random.PRNGKey(0), m2d, 1e-3)[0]
+
+    loss = loss3(params)
+    assert np.isfinite(float(loss))
+    # rate-only loss: photometric params (e.g. mlp_color) get zero gradient
+    g = jax.grad(loss3)(params)
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree_util.tree_leaves(g["nets"]["mlp_color"]))
+    # latents DO get rate gradients pre-mask; the mask zeroes them
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(g["nets"]["field"]["scales"]))
+    gm = cat_render.grad_mask(g, 3)
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree_util.tree_leaves(gm["nets"]["field"]["scales"]))
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree_util.tree_leaves(gm["anchors"]))
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(gm["nets"]["field"]["arms"]))
+
+    # phase 2 mask: arms frozen, everything else flows
+    g2 = jax.grad(lambda p: cat_render.training_loss(
+        p, rest, CFG, cam, rcfg, jnp.zeros(3), 2,
+        jax.random.PRNGKey(0), m2d, 1e-3)[0])(params)
+    gm2 = cat_render.grad_mask(g2, 2)
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree_util.tree_leaves(gm2["nets"]["field"]["arms"]))
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(gm2["nets"]["field"]["scales"]))
+    # phase 4 mask: latents frozen, arms flow
+    gm4 = cat_render.grad_mask(g2, 4)
+    assert all(float(jnp.abs(l).max()) == 0
+               for l in jax.tree_util.tree_leaves(gm4["nets"]["field"]["scales"]))
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(gm4["nets"]["field"]["arms"]))
+
+
 def test_view_frequency_weights():
     counts = jnp.asarray([0.0, 10.0, 20.0, 0.0])
     valid = jnp.asarray([True, True, True, False])
