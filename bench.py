@@ -19,8 +19,24 @@ import time
 import numpy as np
 
 
+def _cache_dir() -> str:
+    """Compilation cache, keyed by host CPU fingerprint: XLA:CPU AOT blobs
+    are not portable across machines (the loader warns about SIGILL when
+    the flags differ), and this repo's cache may travel between hosts."""
+    import hashlib
+    import platform
+
+    try:
+        info = open("/proc/cpuinfo").read()
+        flags = next((l for l in info.splitlines() if l.startswith("flags")), "")
+    except OSError:
+        flags = platform.processor()
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    return f"/root/repo/.jax_cache-{tag}"
+
+
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
     import jax
 
     jax.config.update("jax_compilation_cache_dir",

@@ -81,20 +81,52 @@ def cmd_train(args):
         kernel_size=args.kernel_size,
         learning_rate=args.learning_rate,
         max_steps=args.max_steps,
+        val_interval=args.val_interval,
         model_dir=args.model_save_folder,
     )
     train_paths = sorted(glob(args.training_data))
     if not train_paths:
         sys.exit(f"no training files match {args.training_data}")
     ds = data.PatchDataset(
-        train_paths, pre_quantized=args.is_data_pre_quantized, seed=cfg.seed
+        train_paths, pre_quantized=args.is_data_pre_quantized, seed=cfg.seed,
+        max_num=args.max_patch_points,
     )
     val = None
     if args.val_data:
         val = data.WholeCloudDataset(
             sorted(glob(args.val_data)), pre_quantized=args.is_data_pre_quantized
         )
-    train_lib.train(cfg, ds, val)
+    start = None
+    if args.resume:
+        start = _load_params(args.resume, cfg.net)
+    from gauspcc_tpu.utils.scalars import ScalarLogger
+
+    train_lib.train(cfg, ds, val,
+                    scalar_logger=ScalarLogger(cfg.model_dir),
+                    start_params=start)
+
+
+def cmd_synth(args):
+    """Generate synthetic anchor-like clustered clouds (the distribution
+    family the TPU bench measures: Gaussian blobs on random centers,
+    voxel-quantized and deduplicated). Substitutes for the GausPcc-1K
+    corpus in this data-less container; swap in real .ply scans when
+    available (reference training corpus, GausPcgc/README.md:73-77)."""
+    os.makedirs(args.output_dir, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.count):
+        n_centers = int(rng.integers(40, 400))
+        span = int(rng.integers(1500, 6000))
+        sigma = float(rng.uniform(5.0, 40.0))
+        n_pts = int(rng.integers(60_000, 220_000))
+        centers = rng.integers(0, span, size=(n_centers, 3))
+        pts = centers[rng.integers(0, n_centers, n_pts)] + rng.normal(
+            0, sigma, (n_pts, 3))
+        pts = np.unique(np.round(pts), axis=0).astype(np.float32)
+        path = os.path.join(args.output_dir, f"synth_{i:04d}.npy")
+        np.save(path, pts)
+        print(f"{path}: {pts.shape[0]} pts (centers={n_centers} "
+              f"span={span} sigma={sigma:.1f})")
 
 
 def main(argv=None):
@@ -128,7 +160,16 @@ def main(argv=None):
     t.add_argument("--model_save_folder", default="./model/gauspcgc")
     t.add_argument("--learning_rate", type=float, default=5e-4)
     t.add_argument("--max_steps", type=int, default=110_000)
+    t.add_argument("--max_patch_points", type=int, default=data.MAX_PATCH_POINTS)
+    t.add_argument("--val_interval", type=int, default=500)
+    t.add_argument("--resume", default="", help="params .npz to resume from")
     t.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("synth")
+    s.add_argument("--output_dir", required=True)
+    s.add_argument("--count", type=int, default=40)
+    s.add_argument("--seed", type=int, default=7)
+    s.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
     args.fn(args)

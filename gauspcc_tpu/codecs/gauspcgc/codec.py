@@ -11,12 +11,14 @@ reference-bitstream compat is not meaningful):
   i32 base_len | i32[base_len,3] base coords | u8[base_len] base occ |
   framed per-level stage streams (4 per level, coarse->fine).
 
-Execution model (SURVEY.md §3.2/§7): all probability evaluation is
-batched XLA on device; the host only runs the serial bit coder. Encode
-needs 1 device dispatch per level (all 4 stages teacher-forced at once);
-decode needs 4 per level (stage k's decoded bits condition stage k+1),
-the same round-trip structure as the reference but with static-shape
-jitted level programs cached per capacity bucket.
+Execution model (SURVEY.md §3.2/§7): the host builds the integer geometry
+(dyadic child expansion + conv neighbor maps, native C++ — ops/hostmap.py)
+and runs the serial bit coder; the device runs only the batched NN math
+(context conv stacks + stage heads + CDF normalization). Encode and decode
+dispatch the SAME jitted stage program (encode teacher-forces the prev
+bits from ground truth), so both sides produce bit-identical CDF tables by
+construction — the property the reference maintains by running one network
+in both drivers (compress/decompress_ue_4stage_conv.py).
 """
 
 from __future__ import annotations
@@ -29,19 +31,67 @@ import jax
 import jax.numpy as jnp
 
 from gauspcc_tpu.core import bitstream, cdf as cdf_lib
-from gauspcc_tpu.ops import coder, sparse
+from gauspcc_tpu.ops import hostmap, rans, sparse
 from gauspcc_tpu.codecs.gauspcgc import model as net
 
 MAGIC = 0x47504354  # 'GPCT'
-VERSION = 1
+VERSION = 2  # v2: per-level fused rANS streams (one stream per level)
 MIN_BASE_POINTS = 64
+
+# Heterogeneous level placement: pyramid levels below this child capacity
+# run on the host CPU backend, larger ones on the accelerator. The
+# placement rule depends only on capacities both sides derive identically,
+# so encoder and decoder always evaluate a level on the same backend and
+# CDF tables stay bit-identical. Default 0 = everything on the
+# accelerator: dispatches pipeline at ~30 us each even over a tunneled
+# TPU, while this container's single host core runs a coarse level's conv
+# stack ~50x slower than the chip. Raise via GAUSPCC_TPU_MIN_CAP on hosts
+# with real CPUs if profiling favors it.
+import os as _os
+
+TPU_MIN_CAP = int(_os.environ.get("GAUSPCC_TPU_MIN_CAP", 0))
+
+
+def _accel_device():
+    dev = jax.devices()[0]
+    return None if dev.platform == "cpu" else dev
+
+
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def _device_for(ccap: int):
+    accel = _accel_device()
+    if accel is None or ccap < TPU_MIN_CAP:
+        return _cpu_device()
+    return accel
+
+
+_params_cache: dict = {}
+
+
+def _params_on(params, dev):
+    """Per-device copy of the network params (memoized; the handful of
+    coarse levels share one CPU copy)."""
+    key = (id(params), dev)
+    hit = _params_cache.get(key)
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    moved = jax.device_put(params, dev)
+    _params_cache[key] = (params, moved)
+    return moved
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
-    """Next power-of-two capacity (bounds jit recompiles per level size)."""
+    """Next capacity step. Power-of-two up to 16384, then multiples of
+    16384: bounds both jit recompiles per level size and pad waste (pure
+    powers of two waste up to 2x compute at the dominant fine levels)."""
     b = minimum
-    while b < n:
+    while b < n and b < 16384:
         b *= 2
+    if n > b:
+        b = ((n + 16383) // 16384) * 16384
     return b
 
 
@@ -58,41 +108,105 @@ def _pad_parents(coords: np.ndarray, occ: np.ndarray):
 
 
 @partial(jax.jit, static_argnames=("config",))
-def _encode_level(params, config, pc, po, pm, gt_occ, parent_nmap=None):
-    """One level, teacher-forced: returns normalized CDF tables and symbols
-    for all four stages plus the child validity mask. gt_occ's (static)
-    length sets the child capacity. parent_nmap: reuse of the previous
-    level's child neighbor map (same coords)."""
-    ctx = net.level_context(params, config, pc, po, pm,
-                            child_cap=gt_occ.shape[0],
-                            parent_nmap=parent_nmap)
-    s_gt = net.split_occupancy(gt_occ)
-    out = {"mask": ctx["child_mask"]}
-    prev = jnp.zeros_like(gt_occ, dtype=jnp.int32)
-    for stage in range(4):
-        probs = net.stage_probs(params, stage, ctx["feats"], ctx["nmap"], prev)
-        out[f"cdf{stage}"] = cdf_lib.probs_to_cdf_int16(probs)
-        out[f"sym{stage}"] = s_gt[stage].astype(jnp.int16)
-        if stage == 0:
-            prev = s_gt[0]
-        elif stage == 1:
-            prev = prev * 2 + s_gt[1]
-        elif stage == 2:
-            prev = prev * 4 + s_gt[2]
-    out["nmap"] = ctx["nmap"]
-    return out
-
-
-@partial(jax.jit, static_argnames=("config", "child_cap"))
-def _decode_context(params, config, pc, po, pm, child_cap, parent_nmap=None):
-    return net.level_context(params, config, pc, po, pm, child_cap=child_cap,
-                             parent_nmap=parent_nmap)
+def _context_packed(params, config, po, pm, p_map, octant, parent_idx,
+                    child_mask, c_map):
+    """Shared context program (both encode and decode run THIS program on
+    the same inputs, so the features are bit-identical by construction)."""
+    return net.level_context_packed(
+        params, config, po, pm, p_map, octant, parent_idx, child_mask, c_map)
 
 
 @partial(jax.jit, static_argnames=("stage",))
-def _decode_stage_cdf(params, stage, feats, nmap, prev):
-    probs = net.stage_probs(params, stage, feats, nmap, prev)
+def _stage_cdf(params, stage, feats, c_map, prev):
+    """Shared per-stage CDF program. Bit-identity between encoder and
+    decoder is guaranteed by construction: it is the SAME compiled
+    program fed the same device arrays on both sides (XLA may fuse a
+    float subgraph differently in differently-shaped programs, so baking
+    this into larger fused programs is NOT safe — measured divergence on
+    TPU with bf16 conv stacks)."""
+    probs = net.stage_probs(params, stage, feats, c_map, prev)
     return cdf_lib.probs_to_cdf_int16(probs)
+
+
+# rANS steps are pure integer programs: any compilation of them is exact,
+# so they need no sharing discipline. All intermediates (tables, states,
+# prev chains) live on device; the host only touches the word buffers.
+_rans_encode_stage = jax.jit(rans.encode_stage)
+_rans_flush = jax.jit(rans.enc_flush)
+
+
+@partial(jax.jit, static_argnames=("stage",))
+def _rans_decode_stage(state, ptr, words, table, prev, n_valid, stage):
+    (state, ptr), s = rans.decode_stage((state, ptr), table, words, n_valid)
+    if stage == 0:
+        prev = s
+    elif stage == 1:
+        prev = prev * 2 + s
+    elif stage == 2:
+        prev = prev * 4 + s
+    else:
+        prev = prev * 16 + s  # final: prev becomes the occupancy byte
+    return state, ptr, prev
+
+
+def _rans_dec_init(words):
+    return jax.jit(rans.dec_init)(words)
+
+
+class _LevelGeometry:
+    """Host-built geometry of one pyramid level, uploaded once."""
+
+    def __init__(self, p_coords, p_occ, n_child: int, kernel_size: int,
+                 parent_map_dev=None, child_coords=None):
+        np_ = p_coords.shape[0]
+        pcap = _bucket(np_)
+        self.n_parents = np_
+        self.n_child = n_child
+        self.ccap = min(_bucket(n_child), pcap * 8)
+        self.device = _device_for(self.ccap)
+        put = partial(jax.device_put, device=self.device)
+        po = np.zeros(pcap, np.int32)
+        po[:np_] = p_occ
+        pm = np.zeros(pcap, bool)
+        pm[:np_] = True
+        self.po = put(po)
+        self.pm = put(pm)
+
+        cc, octant, parent_idx, n = hostmap.expand_children(
+            p_coords, p_occ.astype(np.uint8), self.ccap)
+        assert n == n_child, f"child count mismatch: {n} vs {n_child}"
+        self.child_coords = cc  # host copy (decode output / next parents)
+        self.octant = put(octant)
+        self.parent_idx = put(parent_idx)
+        self.child_mask = put(np.arange(self.ccap) < n_child)
+
+        if parent_map_dev is not None and (
+            parent_map_dev.lo.devices() == {self.device}
+        ):
+            self.p_map = parent_map_dev
+        else:
+            lo, codes = hostmap.build_map_packed(p_coords, np_, kernel_size,
+                                                 pcap)
+            self.p_map = sparse.WindowMap(put(lo), put(codes))
+        lo, codes = hostmap.build_map_packed(cc, n_child, kernel_size,
+                                             self.ccap)
+        self.c_map = sparse.WindowMap(put(lo), put(codes))
+
+
+def _level_geometries(levels, kernel_size: int):
+    """Geometry for every coded level, coarse->fine, with map reuse."""
+    geos = []
+    carry = None
+    for depth in range(len(levels) - 1):
+        p_coords, p_occ = levels[depth]
+        n_child = levels[depth + 1][0].shape[0]
+        reuse = carry if carry is not None and carry[0] == _bucket(
+            p_coords.shape[0]) else None
+        g = _LevelGeometry(p_coords, p_occ, n_child, kernel_size,
+                           parent_map_dev=reuse[1] if reuse else None)
+        geos.append(g)
+        carry = (g.ccap, g.c_map)
+    return geos
 
 
 def compress_point_cloud(
@@ -118,45 +232,42 @@ def compress_point_cloud(
     xyz0 = np.unique(xyz - shift, axis=0).astype(np.int32)
 
     levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+    geos = _level_geometries(levels, config.kernel_size)
 
-    streams: list[bytes] = []
-    prev_nmap = None
-    prev_child_cap = None
-    for depth in range(len(levels)):
-        p_coords, p_occ = levels[depth]
-        if depth + 1 < len(levels):
-            gt_coords, gt_occ = levels[depth + 1]
-        else:
-            # finest level: children ARE the input voxels; their occupancy is
-            # not coded (they are leaves), so the last coded level's gt is the
-            # occupancy stored one level up. Handled by the loop structure:
-            break
-        pc, po, pm = _pad_parents(p_coords, p_occ)
-        child_cap = min(_bucket(gt_occ.shape[0]), pc.shape[0] * 8)
-        gt_pad = np.zeros(child_cap, np.int32)
-        gt_pad[: gt_occ.shape[0]] = gt_occ
-        reuse = prev_nmap if prev_child_cap == pc.shape[0] else None
-        out = _encode_level(params, config, pc, po, pm, jnp.asarray(gt_pad),
-                            parent_nmap=reuse)
-        prev_nmap = out["nmap"]
-        prev_child_cap = child_cap
+    # enqueue ALL levels without blocking (teacher-forced: nothing
+    # depends on coded bits; tables/states stay on device — the dominant
+    # tunnel transfer, the CDF tables, never leaves), then drain the
+    # per-level word buffers.
+    pending = []  # (words_dev, n_words_dev) per level
+    for depth, g in enumerate(geos):
+        gt_occ = levels[depth + 1][1]
+        # the coded symbols are indexed by the host's lex-sorted children;
+        # they must BE the next level's coords (cheap, load-bearing check)
+        assert np.array_equal(g.child_coords[: g.n_child],
+                              levels[depth + 1][0]), f"align @ depth {depth}"
+        p_dev = _params_on(params, g.device)
+        put = partial(jax.device_put, device=g.device)
+        gt_pad = np.zeros(g.ccap, np.int32)
+        gt_pad[: g.n_child] = gt_occ
+        gt_dev = put(gt_pad)
+        n_valid = put(np.int32(g.n_child))
+        feats = _context_packed(p_dev, config, g.po, g.pm, g.p_map,
+                                g.octant, g.parent_idx, g.child_mask, g.c_map)
+        s_gt = net.split_occupancy(gt_dev)
+        prevs = [jnp.zeros_like(s_gt[0]), s_gt[0], s_gt[0] * 2 + s_gt[1],
+                 (s_gt[0] * 2 + s_gt[1]) * 4 + s_gt[2]]
+        carry = jax.device_put(rans.enc_init_np(g.ccap), g.device)
+        for stage in (3, 2, 1, 0):  # rANS encodes the stream in reverse
+            table = _stage_cdf(p_dev, stage, feats, g.c_map, prevs[stage])
+            carry = _rans_encode_stage(carry, table, s_gt[stage], n_valid)
+        pending.append(_rans_flush(carry))
 
-        n_valid = int(gt_occ.shape[0])
-        mask = np.asarray(out["mask"])
-        assert int(mask.sum()) == n_valid, (
-            f"child count mismatch at depth {depth}: {int(mask.sum())} vs {n_valid}"
-        )
-        for stage in range(4):
-            table = np.asarray(out[f"cdf{stage}"])[:n_valid]
-            syms = np.asarray(out[f"sym{stage}"])[:n_valid]
-            streams.append(coder.encode_int16_cdf(table, syms))
+    streams = [
+        rans.pack_stream(np.asarray(words), np.asarray(n_words))
+        for words, n_words in pending
+    ]
 
-    # the last pyramid entry codes the input voxels via its occupancy: the
-    # loop above already encoded every level's children including the input
-    # (levels[-1] children == xyz0), because levels[-1] is the finest parent
-    # set. Nothing further to code.
     base_coords, base_occ = levels[0]
-
     payload = bitstream.pack_byte_streams(streams)
     with open(output_path, "wb") as f:
         f.write(np.uint32(MAGIC).tobytes())
@@ -202,57 +313,49 @@ def decompress_point_cloud(
 
     t0 = time.time()
     streams = bitstream.unpack_byte_streams(payload)
-    n_levels = len(streams) // 4
+    n_levels = len(streams)
 
     p_coords = base_coords.astype(np.int32)
     p_occ = base_occ.astype(np.int32)
-    prev_nmap = None
-    prev_child_cap = None
+    prev_geo = None
     for depth in range(n_levels):
-        pc, po, pm = _pad_parents(p_coords, p_occ)
-        # number of children = total occupancy popcount (known pre-decode)
-        n_valid = int(np.unpackbits(
-            p_occ.astype(np.uint8)[:, None], axis=1).sum())
-        child_cap = min(_bucket(n_valid), pc.shape[0] * 8)
-        reuse = prev_nmap if prev_child_cap == pc.shape[0] else None
-        ctx = _decode_context(params, config, pc, po, pm, child_cap,
-                              parent_nmap=reuse)
-        prev_nmap = ctx["nmap"]
-        prev_child_cap = child_cap
-        # valid children are the first n_valid rows (lex_sort pads last)
-        feats, nmap = ctx["feats"], ctx["nmap"]
-
-        prev_np = np.zeros(child_cap, np.int32)
-        decoded = []
+        # children are known BEFORE decoding (they follow from the parent
+        # occupancy); only the CHILDREN's occupancy bytes are coded.
+        n_child = int(np.unpackbits(p_occ.astype(np.uint8)[:, None],
+                                    axis=1).sum())
+        reuse = None
+        if prev_geo is not None and prev_geo.ccap == _bucket(p_coords.shape[0]):
+            reuse = prev_geo.c_map
+        g = _LevelGeometry(p_coords, p_occ, n_child, config.kernel_size,
+                           parent_map_dev=reuse)
+        p_dev = _params_on(params, g.device)
+        put = partial(jax.device_put, device=g.device)
+        w_np, _ = rans.unpack_stream(streams[depth],
+                                     rans.word_capacity(g.ccap))
+        words = put(w_np)
+        n_valid = put(np.int32(n_child))
+        # the whole level is enqueued asynchronously (stage k's decoded
+        # symbols stay on device and feed stage k+1's conv context); the
+        # host blocks once, on the occupancy bytes
+        feats = _context_packed(p_dev, config, g.po, g.pm, g.p_map,
+                                g.octant, g.parent_idx, g.child_mask, g.c_map)
+        state, ptr = _rans_dec_init(words)
+        prev = put(np.zeros(g.ccap, np.int32))
         for stage in range(4):
-            table = np.asarray(
-                _decode_stage_cdf(params, stage, feats, nmap, jnp.asarray(prev_np))
-            )[:n_valid]
-            syms = coder.decode_int16_cdf(table, streams[depth * 4 + stage])
-            decoded.append(syms.astype(np.int32))
-            full = np.zeros(child_cap, np.int32)
-            full[:n_valid] = syms
-            if stage == 0:
-                prev_np = full
-            elif stage == 1:
-                prev_np = prev_np * 2 + full
-            elif stage == 2:
-                prev_np = prev_np * 4 + full
+            table = _stage_cdf(p_dev, stage, feats, g.c_map, prev)
+            state, ptr, prev = _rans_decode_stage(
+                state, ptr, words, table, prev, n_valid, stage)
 
-        child_occ = net.merge_occupancy(*decoded)
-        child_coords = np.asarray(ctx["child_coords"])[:n_valid]
-        p_coords = child_coords.astype(np.int32)
-        p_occ = np.asarray(child_occ, np.int32)
+        p_coords = g.child_coords[:n_child]
+        p_occ = np.asarray(prev)[:n_child].astype(np.int32)
+        prev_geo = g
 
-    # final expansion: leaves of the finest decoded level
-    pc, po, pm = _pad_parents(p_coords, p_occ)
-    child, child_mask, _, _ = sparse.fcg_expand(
-        jnp.asarray(pc), jnp.asarray(po), jnp.asarray(pm)
-    )
-    perm = sparse.lex_sort(child, child_mask)
-    n_final = int(np.asarray(child_mask).sum())
-    pts = np.asarray(child[perm])[:n_final].astype(np.int64) + shift
+    # final expansion: leaves of the finest decoded level (host)
+    n_final = int(np.unpackbits(p_occ.astype(np.uint8)[:, None], axis=1).sum())
+    cc, _, _, _ = hostmap.expand_children(
+        p_coords, p_occ.astype(np.uint8), n_final)
+    pts = cc.astype(np.int64) + shift
     pts = pts.astype(np.float32) * posQ
     dec_time = time.time() - t0
 
-    return {"dec_time": dec_time, "num_points": pts.shape[0], "point_cloud": pts}
+    return {"dec_time": dec_time, "num_points": n_final, "point_cloud": pts}

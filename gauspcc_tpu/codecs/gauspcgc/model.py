@@ -35,10 +35,20 @@ Params = dict[str, Any]
 
 class NetConfig(NamedTuple):
     """Static (hashable) network configuration, kept out of the params
-    pytree so jit can specialize on it."""
+    pytree so jit can specialize on it.
+
+    dtype: conv-stack compute dtype. "bf16" halves the gather bandwidth of
+    the sparse convs (the TPU hot path); heads and entropy math stay f32.
+    Encode and decode share the same programs, so CDF tables remain
+    bit-identical regardless."""
 
     channels: int = 32
     kernel_size: int = 5
+    dtype: str = "bf16"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
 
 STAGE_SIZES = (2, 2, 4, 16)  # symbols per stage head
 STAGE_COND = (1, 2, 4, 16)  # embedding table sizes for stages (stage 0 unused)
@@ -122,6 +132,14 @@ def _conv(p, feats, nmap):
     return sparse.sparse_conv_apply(feats, nmap, p["w"], p["b"])
 
 
+def _as_dense_map(nmap, kernel_size: int) -> sparse.NeighborMap:
+    """Accept either a dense NeighborMap or a packed WindowMap (expanded
+    on device once per program; XLA CSEs repeated expansions anyway)."""
+    if isinstance(nmap, sparse.WindowMap):
+        return sparse.nmap_from_packed(nmap, kernel_size)
+    return nmap
+
+
 def _resnet(p, feats, nmap):
     h = jax.nn.relu(_conv(p["conv0"], feats, nmap))
     h = _conv(p["conv1"], h, nmap)
@@ -140,6 +158,7 @@ def _spatial(p, feats, nmap):
 
 
 def _head(p, feats):
+    feats = feats.astype(jnp.float32)  # entropy math stays f32
     h = jax.nn.relu(feats @ p["fc0"]["w"] + p["fc0"]["b"])
     logits = h @ p["fc1"]["w"] + p["fc1"]["b"]
     return jax.nn.softmax(logits, axis=-1)
@@ -184,9 +203,10 @@ def level_context(params: Params, config: NetConfig, parent_coords,
     target_resnet, and the child neighbor map (reused by all four stages).
     """
     k = config.kernel_size
+    dt = config.compute_dtype
 
     pf = params["prior_embedding"][jnp.clip(parent_occ.astype(jnp.int32), 0, 255)]
-    pf = jnp.where(parent_mask[:, None], pf, 0.0)
+    pf = jnp.where(parent_mask[:, None], pf, 0.0).astype(dt)
     p_nmap = parent_nmap if parent_nmap is not None else sparse.build_neighbor_map(
         parent_coords, parent_mask, parent_coords, parent_mask, k
     )
@@ -203,8 +223,8 @@ def level_context(params: Params, config: NetConfig, parent_coords,
     octant = octant[perm]
     parent_idx = parent_idx[perm]
 
-    cf = pf[parent_idx] + params["target_embedding"][octant]
-    cf = jnp.where(child_mask[:, None], cf, 0.0)
+    cf = pf[parent_idx] + params["target_embedding"][octant].astype(dt)
+    cf = jnp.where(child_mask[:, None], cf, 0).astype(dt)
     c_nmap = sparse.build_neighbor_map(child, child_mask, child, child_mask, k)
     cf = _conv_stack(params["target_resnet"], cf, c_nmap)
 
@@ -217,17 +237,49 @@ def level_context(params: Params, config: NetConfig, parent_coords,
     }
 
 
+def level_context_packed(params: Params, config: NetConfig, parent_occ,
+                         parent_mask, p_nmap: sparse.NeighborMap, octant,
+                         parent_idx, child_mask,
+                         c_nmap: sparse.NeighborMap):
+    """Parent->child context features from HOST-prebuilt geometry.
+
+    The integer set work (child expansion, lex sort, neighbor maps) runs
+    in the native host builder (ops/hostmap.py) and arrives here as plain
+    gather tables; this program is pure NN math (embeds + conv stacks),
+    which is what the TPU is good at. Semantics identical to
+    :func:`level_context`.
+
+    octant/parent_idx/child_mask: [Cc] aligned with the host's lex-sorted
+    children (parent_idx < 0 on padding).
+    """
+    dt = config.compute_dtype
+    k = config.kernel_size
+    p_nmap = _as_dense_map(p_nmap, k)
+    c_nmap = _as_dense_map(c_nmap, k)
+    pf = params["prior_embedding"][jnp.clip(parent_occ.astype(jnp.int32), 0, 255)]
+    pf = jnp.where(parent_mask[:, None], pf, 0.0).astype(dt)
+    pf = _conv_stack(params["prior_resnet"], pf, p_nmap)
+
+    cf = pf[jnp.clip(parent_idx, 0, pf.shape[0] - 1)] + (
+        params["target_embedding"][jnp.clip(octant, 0, 7)].astype(dt)
+    )
+    cf = jnp.where(child_mask[:, None], cf, 0).astype(dt)
+    return _conv_stack(params["target_resnet"], cf, c_nmap)
+
+
 def stage_probs(params: Params, stage: int, ctx_feats, nmap, prev_sym):
     """Probabilities for one stage given previously (de)coded symbols.
 
     prev_sym: int32 [Nc] combined previous bits (0 for stage 0):
       stage 1: bit8; stage 2: bit8*2+bit7; stage 3: prev*4 + bits65.
     """
+    sp = params[f"spatial_s{stage}"]
+    nmap = _as_dense_map(nmap, round(sp["conv0"]["w"].shape[0] ** (1 / 3)))
     f = ctx_feats
     if stage > 0:
         table = params[f"cond_emb_s{stage}"]
-        f = f + table[jnp.clip(prev_sym, 0, table.shape[0] - 1)]
-    h = _spatial(params[f"spatial_s{stage}"], f, nmap)
+        f = f + table[jnp.clip(prev_sym, 0, table.shape[0] - 1)].astype(f.dtype)
+    h = _spatial(sp, f, nmap)
     return _head(params[f"head_s{stage}"], h)
 
 
@@ -242,13 +294,26 @@ def level_bits(params: Params, config: NetConfig, parent_coords, parent_occ,
     """
     ctx = level_context(params, config, parent_coords, parent_occ, parent_mask,
                         child_cap=gt_child_occ.shape[0])
-    mask = ctx["child_mask"]
-    s0, s1, s2, s3 = split_occupancy(gt_child_occ)
+    return _staged_bits(params, ctx["feats"], ctx["nmap"], ctx["child_mask"],
+                        gt_child_occ)
 
+
+def level_bits_packed(params: Params, config: NetConfig, parent_occ,
+                      parent_mask, p_nmap, octant, parent_idx, child_mask,
+                      c_nmap, gt_child_occ):
+    """level_bits over host-prebuilt geometry (see level_context_packed)."""
+    feats = level_context_packed(params, config, parent_occ, parent_mask,
+                                 p_nmap, octant, parent_idx, child_mask,
+                                 c_nmap)
+    return _staged_bits(params, feats, c_nmap, child_mask, gt_child_occ)
+
+
+def _staged_bits(params, feats, nmap, mask, gt_child_occ):
+    s0, s1, s2, s3 = split_occupancy(gt_child_occ)
     total = 0.0
     prev = jnp.zeros_like(s0)
     for stage, gt in enumerate((s0, s1, s2, s3)):
-        probs = stage_probs(params, stage, ctx["feats"], ctx["nmap"], prev)
+        probs = stage_probs(params, stage, feats, nmap, prev)
         p = jnp.take_along_axis(probs, gt[:, None], axis=-1)[:, 0]
         bits = jnp.clip(-jnp.log2(p + 1e-10), 0.0, 50.0)
         total = total + jnp.sum(jnp.where(mask, bits, 0.0))

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 import optax
 
 from gauspcc_tpu.codecs.gauspcgc import model
-from gauspcc_tpu.codecs.gauspcgc.codec import _bucket, _pad_parents, MIN_BASE_POINTS
+from gauspcc_tpu.codecs.gauspcgc.codec import (
+    MIN_BASE_POINTS, _level_geometries,
+)
 from gauspcc_tpu.ops import sparse
 from gauspcc_tpu.utils import checkpoint
 
@@ -58,9 +60,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 @partial(jax.jit, static_argnames=("config",))
-def _level_bits_grad(params, config, pc, po, pm, gt):
+def _level_bits_grad(params, config, po, pm, p_map, octant, parent_idx,
+                     child_mask, c_map, gt):
     def f(p):
-        bits, n = model.level_bits(p, config, pc, po, pm, gt)
+        bits, n = model.level_bits_packed(
+            p, config, po, pm, p_map, octant, parent_idx, child_mask,
+            c_map, gt)
         return bits, n
 
     (bits, n), grads = jax.value_and_grad(f, has_aux=True)(params)
@@ -83,31 +88,32 @@ def make_update_fn(optimizer):
     return update
 
 
-def pyramid_batches(xyz_int: np.ndarray):
-    """Host prep: shift, dedupe, pyramid, pad each coded level.
+def pyramid_batches(xyz_int: np.ndarray, kernel_size: int):
+    """Host prep: shift, dedupe, pyramid, native child/neighbor-map build
+    (ops/hostmap.py — the same geometry path the codec uses).
 
-    Yields (pc, po, pm, gt_pad, n_children) per level plus n_points.
+    Returns ([(geometry, gt_pad)] per coded level, n_points).
     """
     xyz0 = np.unique(xyz_int - xyz_int.min(axis=0), axis=0).astype(np.int32)
     levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+    geos = _level_geometries(levels, kernel_size)
     out = []
-    for d in range(len(levels) - 1):
-        p_coords, p_occ = levels[d]
-        _, gt_occ = levels[d + 1]
-        pc, po, pm = _pad_parents(p_coords, p_occ)
-        child_cap = min(_bucket(gt_occ.shape[0]), pc.shape[0] * 8)
-        gt_pad = np.zeros(child_cap, np.int32)
+    for d, g in enumerate(geos):
+        gt_occ = levels[d + 1][1]
+        gt_pad = np.zeros(g.ccap, np.int32)
         gt_pad[: gt_occ.shape[0]] = gt_occ
-        out.append((pc, po, pm, jnp.asarray(gt_pad), gt_occ.shape[0]))
+        out.append((g, jnp.asarray(gt_pad)))
     return out, xyz0.shape[0]
 
 
 def cloud_bits(params, net_cfg, xyz_int: np.ndarray) -> tuple[float, int]:
     """Teacher-forced total bits for a whole cloud (validation metric)."""
-    batches, n_points = pyramid_batches(xyz_int)
+    batches, n_points = pyramid_batches(xyz_int, net_cfg.kernel_size)
     total = 0.0
-    for pc, po, pm, gt, _ in batches:
-        bits, _ = model.level_bits(params, net_cfg, pc, po, pm, gt)
+    for g, gt in batches:
+        bits, _ = model.level_bits_packed(
+            params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
+            g.child_mask, g.c_map, gt)
         total += float(bits)
     return total, n_points
 
@@ -118,12 +124,14 @@ def train_step(params, opt_state, update_fn, net_cfg, xyz_int: np.ndarray,
 
     Returns (params, opt_state, bpp).
     """
-    batches, n_points = pyramid_batches(xyz_int)
+    batches, n_points = pyramid_batches(xyz_int, net_cfg.kernel_size)
     grads = zero_grads
     total_bits = 0.0
-    for pc, po, pm, gt, _ in batches:
-        bits, _, g = _level_bits_grad(params, net_cfg, pc, po, pm, gt)
-        grads = _accumulate(grads, g)
+    for g, gt in batches:
+        bits, _, grad = _level_bits_grad(
+            params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
+            g.child_mask, g.c_map, gt)
+        grads = _accumulate(grads, grad)
         total_bits += float(bits)
     params, opt_state = update_fn(
         params, opt_state, grads, jnp.float32(1.0 / n_points)
@@ -148,15 +156,19 @@ def setup_logger(log_dir: str, name: str = "gauspcgc") -> logging.Logger:
     return logger
 
 
-def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None):
+def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
+          scalar_logger=None, start_params=None):
     """Full training loop over a PatchDataset; returns trained params.
 
     dataset: gauspcc_tpu.codecs.gauspcgc.data.PatchDataset
+    scalar_logger: optional utils.scalars.ScalarLogger (TB/wandb/JSONL).
+    start_params: resume from a params pytree instead of fresh init.
     """
     logger = setup_logger(cfg.model_dir)
     logger.info(f"config: {cfg}")
     key = jax.random.PRNGKey(cfg.seed)
-    params = model.init_params(key, cfg.net)
+    params = (start_params if start_params is not None
+              else model.init_params(key, cfg.net))
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     update_fn = make_update_fn(optimizer)
@@ -183,6 +195,11 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None):
                         f"step {step} bpp {bpp:.4f} ema {ema_bpp:.4f} "
                         f"({(time.time()-t0)/step:.3f} s/step)"
                     )
+                    if scalar_logger is not None:
+                        scalar_logger.log(step, {
+                            "train/bpp": bpp, "train/ema_bpp": ema_bpp,
+                            "train/step_time": (time.time() - t0) / step,
+                        })
                 if val_dataset is not None and step % cfg.val_interval == 0:
                     vb, vn = 0.0, 0
                     for vi in range(len(val_dataset)):
@@ -191,6 +208,8 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None):
                         vn += n
                     val_bpp = vb / max(vn, 1)
                     logger.info(f"step {step} val_bpp {val_bpp:.4f}")
+                    if scalar_logger is not None:
+                        scalar_logger.log(step, {"val/bpp": val_bpp})
                     if val_bpp < best_val:
                         best_val = val_bpp
                         checkpoint.save_pytree(

@@ -54,6 +54,7 @@ def train_scene(
     checkpoint_every: int = 0,
     gui=None,
     stop_at: int | None = None,
+    scalar_logger=None,
 ):
     """Train one scene end-to-end; returns (state, results dict).
 
@@ -133,6 +134,15 @@ def train_scene(
                 f"bpp {float(metrics['bit_per_param']):.4f} "
                 f"({(time.time()-t0)/(it - first_it + 1):.3f} s/it)"
             )
+            if scalar_logger is not None:
+                # TB/wandb scalar streams (HAC/train.py:283-286,634-645)
+                scalar_logger.log(it, {
+                    "train/loss": metrics["loss"],
+                    "train/l1": metrics["l1"],
+                    "train/psnr": metrics["psnr"],
+                    "train/bit_per_param": metrics["bit_per_param"],
+                    "train/iter_time": (time.time() - t0) / (it - first_it + 1),
+                })
         # densification (train.py:229-240; paused 3000-4000 to settle Q)
         densify = (
             opt.start_stat < it < opt.update_until
@@ -185,6 +195,13 @@ def train_scene(
                   indent=2, default=float)
         log(f"eval: PSNR {results['psnr']:.3f}, "
             f"size {results['size_mb']:.3f} MB")
+        if scalar_logger is not None:
+            scalar_logger.log(last_it, {
+                "eval/psnr": results.get("psnr"),
+                "eval/ssim": results.get("ssim"),
+                "eval/fps": results.get("fps"),
+                "eval/size_mb": results.get("size_mb"),
+            })
     return state, results
 
 

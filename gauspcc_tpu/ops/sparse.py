@@ -160,6 +160,91 @@ class NeighborMap(NamedTuple):
     valid: jax.Array
 
 
+def nmap_from_host(idx: jax.Array) -> NeighborMap:
+    """Wrap a host-built gather table (ops/hostmap.py; -1 = no neighbor)."""
+    return NeighborMap(idx=jnp.maximum(idx, 0), valid=idx >= 0)
+
+
+class WindowMap(NamedTuple):
+    """Packed neighbor map (ops/hostmap.py build_map_packed).
+
+    lo: [K^2, Nq] int32 — per (dz, dy) kernel row, the start of the
+        k-wide window of consecutive lex-sorted source rows.
+    codes: [K^2, Nq] int (uint16 payload) — 3-bit window slot per
+        x-offset bin; 7 = no neighbor. Tap index = lo + slot.
+
+    6 bytes/voxel/row vs 4K for the dense table: sized for the
+    host->device upload, the serial-latency driver of codec decode on a
+    tunneled TPU.
+    """
+
+    lo: jax.Array
+    codes: jax.Array
+
+
+def nmap_from_packed(wmap: WindowMap, kernel_size: int) -> NeighborMap:
+    """Expand a packed window map to the dense gather table on device.
+
+    Pure integer ops over [K^2, Nq] lanes — the upload stays 6 B/voxel/row
+    while the conv keeps the dense gather-MM form (which measures faster
+    on TPU than gathering k-row windows and aligning per query).
+    """
+    k = kernel_size
+    slots = (wmap.codes.astype(jnp.int32)[:, None, :]
+             >> (3 * jnp.arange(k, dtype=jnp.int32)[None, :, None])) & 7
+    valid = slots < k  # [K2, k(dxbin), Nq]
+    idx = wmap.lo[:, None, :] + jnp.where(valid, slots, 0)
+    nq = wmap.lo.shape[1]
+    return NeighborMap(idx=idx.reshape(k * k * k, nq),
+                       valid=valid.reshape(k * k * k, nq))
+
+
+def sparse_conv_window(
+    feats: jax.Array,
+    wmap: WindowMap,
+    weight: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Submanifold sparse conv over a packed window map.
+
+    Equivalent to :func:`sparse_conv_apply` with the dense map the codes
+    expand to, but gathers CONTIGUOUS k-row windows (one [k, Cin] slice
+    per query per kernel row) instead of K^3 scattered rows, then aligns
+    window slots to x-offset bins with k^2 masked adds on the VPU.
+    Runs in feats.dtype (bf16-friendly) with f32 accumulation.
+    """
+    k3, cin, cout = weight.shape
+    k = round(k3 ** (1 / 3))
+    assert k**3 == k3
+    k2 = k * k
+    nq = wmap.lo.shape[1]
+    ns = feats.shape[0]
+    w = weight.astype(feats.dtype).reshape(k2, k * cin, cout)
+    win_off = jnp.arange(k, dtype=jnp.int32)
+
+    def row(acc, args):
+        lo, codes, w_row = args  # [Nq], [Nq], [k*Cin, Cout]
+        win = feats[jnp.clip(lo[:, None] + win_off[None, :], 0, ns - 1)]
+        # [Nq, k(window), Cin]
+        slots = (codes.astype(jnp.int32)[:, None]
+                 >> (3 * win_off[None, :])) & 7  # [Nq, k(dxbin)]
+        aligned = jnp.zeros((nq, k, cin), feats.dtype)
+        for i in range(k):  # window slot -> x-offset bin (VPU selects)
+            hit = (slots == i)[:, :, None]
+            aligned = aligned + jnp.where(hit, win[:, i : i + 1, :], 0)
+        x = aligned.reshape(nq, k * cin)
+        return acc + jnp.dot(x, w_row, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((nq, cout), jnp.float32)
+    out, _ = jax.lax.scan(
+        row, acc0,
+        (wmap.lo, wmap.codes, w),
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(feats.dtype)
+
+
 def _lex_less(az, ay, ax, bz, by, bx):
     """(az,ay,ax) < (bz,by,bx) lexicographically, elementwise."""
     return (az < bz) | ((az == bz) & ((ay < by) | ((ay == by) & (ax < bx))))
@@ -290,6 +375,7 @@ def sparse_conv_apply(
     """
     k3, cin, cout = weight.shape
     nq = nmap.idx.shape[1]
+    weight = weight.astype(feats.dtype)
     budget = 64 * 1024 * 1024  # elements per gathered buffer
     g = max(1, min(group, budget // max(nq * cin, 1)))
     n_groups = (k3 + g - 1) // g
@@ -306,7 +392,7 @@ def sparse_conv_apply(
     def body(acc, args):
         idx_g, valid_g, w_g = args  # [g, Nq], [g, Nq], [g*Cin, Cout]
         gathered = feats[idx_g]  # [g, Nq, Cin]
-        gathered = jnp.where(valid_g[:, :, None], gathered, 0.0)
+        gathered = jnp.where(valid_g[:, :, None], gathered, 0)
         x = gathered.transpose(1, 0, 2).reshape(nq, g * cin)
         return acc + jnp.dot(x, w_g, preferred_element_type=jnp.float32), None
 
@@ -314,4 +400,4 @@ def sparse_conv_apply(
     out, _ = jax.lax.scan(body, acc0, (idx, valid, w))
     if bias is not None:
         out = out + bias
-    return out
+    return out.astype(feats.dtype)
