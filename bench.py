@@ -1,13 +1,17 @@
-"""Headline benchmark: GausPcgc geometry encode+decode on one TPU chip.
+"""Headline benchmark on one TPU chip — multi-axis.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The required driver fields {"metric", "value",
+"unit", "vs_baseline"} carry the headline axis (GausPcgc geometry codec
+end-to-end enc+dec points/s, BASELINE.json configs[0]); the "extra"
+object carries the other axes so rounds are mechanically comparable:
+enc/dec split, bpp (with the trained checkpoint when present), eval
+render ms/frame at the worst-case raster config, and HAC train ms/iter.
 
-Config matches BASELINE.json configs[0]: geometry encode/decode of one
-anchor-scale point cloud (lex 'Morton' sort + voxelize + context-model
-inference on device + host arithmetic coder). The reference publishes no
-numeric throughput (BASELINE.md), so vs_baseline is the ratio against the
-first self-measured round recorded in BENCH_BASELINE.json (created on
-first run); >1.0 means faster than round-1 self-baseline.
+The reference publishes no numeric throughput (BASELINE.md), so
+vs_baseline is the ratio against the first self-measured round recorded
+in BENCH_BASELINE.json; >1.0 means faster than the round-1 baseline.
+
+Skip the slower secondary axes with GAUSPCC_BENCH_FAST=1.
 """
 
 from __future__ import annotations
@@ -35,20 +39,25 @@ def _cache_dir() -> str:
     return f"/root/repo/.jax_cache-{tag}"
 
 
-def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
+def bench_codec(extra: dict) -> float:
     import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-
     from gauspcc_tpu.codecs.gauspcgc import codec, model
 
     cfg = model.NetConfig(channels=32, kernel_size=5)
-    params = model.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt_path = os.path.join(os.path.dirname(__file__),
+                             "model", "gauspcgc", "best_model.npz")
+    if os.path.exists(ckpt_path):
+        from gauspcc_tpu.utils import checkpoint
 
-    # anchor-like clustered cloud (~120k voxels; Mip-NeRF360 scenes land in
-    # the 10^5 anchor range)
+        params = checkpoint.load_pytree(
+            ckpt_path, model.init_params(jax.random.PRNGKey(0), cfg))
+        extra["codec_trained"] = True
+    else:
+        params = model.init_params(jax.random.PRNGKey(0), cfg)
+        extra["codec_trained"] = False
+
+    # anchor-like clustered cloud (~160k voxels; Mip-NeRF360 scenes land
+    # in the 10^5 anchor range)
     rng = np.random.default_rng(0)
     centers = rng.integers(0, 4000, size=(200, 3))
     pts = centers[rng.integers(0, len(centers), 160_000)] + rng.normal(
@@ -58,22 +67,118 @@ def main():
     n = pts.shape[0]
 
     tmp = "/tmp/gauspcc_bench.bin"
-    # warm-up: compile all level programs
-    codec.compress_point_cloud(pts, params, tmp, config=cfg)
+    codec.compress_point_cloud(pts, params, tmp, config=cfg)  # warm-up
     codec.decompress_point_cloud(tmp, params, config=cfg)
 
     enc_times, dec_times = [], []
+    bpp = None
     for _ in range(3):
         t0 = time.time()
         out = codec.compress_point_cloud(pts, params, tmp, config=cfg)
         enc_times.append(time.time() - t0)
+        bpp = out["bpp"]
         t0 = time.time()
         dec = codec.decompress_point_cloud(tmp, params, config=cfg)
         dec_times.append(time.time() - t0)
     assert dec["num_points"] == n, "round-trip point count mismatch"
 
-    total = min(enc_times) + min(dec_times)
-    value = n / total  # end-to-end points/sec (enc+dec)
+    extra["codec_enc_points_per_sec"] = round(n / min(enc_times), 1)
+    extra["codec_dec_points_per_sec"] = round(n / min(dec_times), 1)
+    extra["codec_bpp"] = round(bpp, 4)
+    return n / (min(enc_times) + min(dec_times))
+
+
+def bench_render(extra: dict) -> None:
+    """Worst-case eval frame: 784x1168, 200k Gaussians, saturated K=256
+    (BASELINE.md renderer row; reference surface
+    HAC/gaussian_renderer/__init__.py:199-225)."""
+    import jax
+    import jax.numpy as jnp
+    from gauspcc_tpu.render import raster
+
+    rng = np.random.default_rng(1)
+    n = 200_000
+    cfg = raster.RasterConfig(height=784, width=1168, tanfovx=0.6,
+                              tanfovy=0.45, max_gaussians_per_tile=256)
+    means = jnp.asarray(rng.normal(0, 1.2, (n, 3)).astype(np.float32))
+    colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.random((n, 1)).astype(np.float32) * 0.9)
+    scales = jnp.asarray((rng.random((n, 3)) * 0.04 + 0.005).astype(np.float32))
+    rots = jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32))
+    view = jnp.eye(4).at[3, 2].set(4.0)
+    bg = jnp.zeros(3)
+
+    fn = jax.jit(lambda *a: raster.rasterize(*a, cfg=cfg)[0])
+    img = fn(means, colors, opac, scales, rots, view, bg)
+    img.block_until_ready()
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fn(means, colors, opac, scales, rots, view, bg).block_until_ready()
+        times.append(time.time() - t0)
+    extra["render_ms_frame"] = round(min(times) * 1e3, 1)
+
+
+def bench_train_iter(extra: dict) -> None:
+    """HAC train step wall-clock on a synthetic scene (render + rate +
+    grads + per-group Adam), post-compile."""
+    import jax
+    import jax.numpy as jnp
+    from gauspcc_tpu.models.hac import model as hac
+    from gauspcc_tpu.models.hac import render as hac_render
+    from gauspcc_tpu.models.hac import train as hac_train
+    from gauspcc_tpu.render import raster
+
+    rng = np.random.default_rng(2)
+    cfg = hac.HACConfig(voxel_size=0.01)
+    pts = hac.voxelize_points(
+        (rng.random((20_000, 3)) * 2 - 1).astype(np.float32), cfg.voxel_size)
+    state = hac.update_anchor_bound(
+        hac.init_state(jax.random.PRNGKey(0), cfg, pts))
+    params, rest = hac.split_state(state)
+    rcfg = raster.RasterConfig(height=512, width=512, tanfovx=0.5,
+                               tanfovy=0.5, max_gaussians_per_tile=256)
+    cam = hac_render.CameraArrays(
+        viewmatrix=jnp.eye(4).at[3, 2].set(3.0),
+        camera_center=jnp.asarray([0.0, 0.0, -3.0]),
+        image=jnp.asarray(rng.random((3, 512, 512)).astype(np.float32)),
+    )
+    opt = hac_train.OptConfig(lmbda=1e-3)
+    optimizer = hac_train.make_optimizer(opt, spatial_lr_scale=2.0)
+    opt_state = optimizer.init(params)
+    stats = hac_train.zero_stats(rest["valid"].shape[0], cfg.n_offsets)
+    step = hac_train.make_train_step(cfg, rcfg, optimizer, opt)
+    key = jax.random.PRNGKey(3)
+    out = step(params, rest, opt_state, stats, cam, key, phase=2)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        out = step(params, rest, opt_state, stats, cam, key, phase=2)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    extra["train_ms_iter"] = round(min(times) * 1e3, 1)
+    extra["train_scene"] = "synthetic 512x512, 20k anchors, phase 2"
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    extra: dict = {}
+    value = bench_codec(extra)
+    if os.environ.get("GAUSPCC_BENCH_FAST") != "1":
+        try:
+            bench_render(extra)
+        except Exception as e:  # secondary axis must not sink the bench
+            extra["render_error"] = repr(e)[:200]
+        try:
+            bench_train_iter(extra)
+        except Exception as e:
+            extra["train_error"] = repr(e)[:200]
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):
@@ -90,6 +195,7 @@ def main():
         "value": round(value, 1),
         "unit": "points/s",
         "vs_baseline": round(value / base, 4),
+        "extra": extra,
     }))
 
 

@@ -26,6 +26,9 @@ DATASET_PRESETS = {
     "deepblending": {"voxel_size": 0.005, "images": "images"},
     "tandt": {"voxel_size": 0.01, "images": "images"},
     "nerf_synthetic": {"voxel_size": 0.001, "images": "", "white_background": True},
+    # BungeeNeRF city scenes (CAT-3DGS/arguments/bungee.py): lr schedules
+    # capped at 30k steps regardless of total iterations
+    "bungee": {"voxel_size": 0.005, "images": "images", "lr_max_steps": 30_000},
 }
 
 
@@ -68,7 +71,9 @@ def main(argv=None):
                 args.out_root, args.dataset, scene_name,
                 f"{args.model}_l{lmbda}")
             cfg = fam.make_config(voxel_size=preset["voxel_size"])
-            opt = hac_train.OptConfig(iterations=args.iterations, lmbda=lmbda)
+            opt = hac_train.OptConfig(
+                iterations=args.iterations, lmbda=lmbda,
+                lr_max_steps=preset.get("lr_max_steps"))
             _, results = pipeline.train_scene(
                 scene, cfg, opt, run_dir, pcc_params, pcc_cfg,
                 white_background=preset.get("white_background", False),

@@ -83,6 +83,8 @@ def cmd_train(args):
         max_steps=args.max_steps,
         val_interval=args.val_interval,
         model_dir=args.model_save_folder,
+        lr_decay_steps=tuple(
+            int(s) for s in args.lr_decay_steps.split(",") if s),
     )
     train_paths = sorted(glob(args.training_data))
     if not train_paths:
@@ -161,6 +163,8 @@ def main(argv=None):
     t.add_argument("--learning_rate", type=float, default=5e-4)
     t.add_argument("--max_steps", type=int, default=110_000)
     t.add_argument("--max_patch_points", type=int, default=data.MAX_PATCH_POINTS)
+    t.add_argument("--lr_decay_steps", default="40000,90000",
+                   help="comma-separated decay milestones (x0.1 each)")
     t.add_argument("--val_interval", type=int, default=500)
     t.add_argument("--resume", default="", help="params .npz to resume from")
     t.set_defaults(fn=cmd_train)

@@ -17,8 +17,12 @@ GridEncoder :224-311, mix_3D2D_encoding gaussian_model.py:43-109):
 Implemented as a static Python loop over levels (each level one gather +
 weighted sum, fully fused by XLA); gradients flow to the table via the
 gather's scatter-add transpose. The gridencoder's `binary_vxl` masked
-variant and plane-average ops are not needed on HAC's main path
-(calc_interp_feat passes binary_vxl=None) and are omitted.
+variant (corners with no occupied voxel in their Rb-grid window are
+excluded like border corners — kernel_grid gridencoder.cu:266-322) is
+supported via a summed-area table; HAC's main path passes None
+(calc_interp_feat). The extension's plane-average ops (avg_2D_*,
+cnt_np_embed*, grid_encode_mix2D) have NO Python call sites anywhere in
+the reference — dead kernels, intentionally not reproduced.
 """
 
 from __future__ import annotations
@@ -80,12 +84,43 @@ def _corner_offsets(num_dim: int) -> np.ndarray:
     )
 
 
-def encode(spec: HashGridSpec, table: jax.Array, x: jax.Array) -> jax.Array:
-    """x: [N, num_dim] in [0, 1] -> [N, L * F] features."""
+def _occupancy_sat(binary_vxl: jax.Array) -> jax.Array:
+    """Inclusive summed-area table with a zero border: sat[i1..id] = count
+    of occupied voxels in the box [0, i1) x ... x [0, id)."""
+    s = binary_vxl.astype(jnp.int32)
+    for axis in range(s.ndim):
+        s = jnp.cumsum(s, axis=axis)
+    return jnp.pad(s, [(1, 0)] * s.ndim)
+
+
+def _window_occupied(sat: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Any occupied voxel in the inclusive box [lo, hi] per row.
+
+    sat: SAT from _occupancy_sat ([Rb+1]^d); lo/hi: [..., d] int32.
+    Inclusion-exclusion over the 2^d box corners."""
+    d = lo.shape[-1]
+    total = 0
+    for mask in range(2**d):
+        bits = np.array([(mask >> k) & 1 for k in range(d)])
+        corner = jnp.where(jnp.asarray(bits, bool), hi + 1, lo)
+        sign = 1 if (d - int(bits.sum())) % 2 == 0 else -1
+        idx = tuple(corner[..., k] for k in range(d))
+        total = total + sign * sat[idx]
+    return total > 0
+
+
+def encode(spec: HashGridSpec, table: jax.Array, x: jax.Array,
+           binary_vxl: jax.Array | None = None) -> jax.Array:
+    """x: [N, num_dim] in [0, 1] -> [N, L * F] features.
+
+    binary_vxl: optional {0,1} occupancy grid ([Rb]^num_dim). Corners
+    whose Rb-window holds no occupied voxel are excluded from the
+    interpolation like border corners (kernel_grid binary_vxl path)."""
     n = x.shape[0]
     d = spec.num_dim
     corners = jnp.asarray(_corner_offsets(d))  # [2^d, d]
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1)  # [N]
+    sat = None if binary_vxl is None else _occupancy_sat(binary_vxl)
 
     outs = []
     for lvl, r in enumerate(spec.resolutions):
@@ -102,6 +137,16 @@ def encode(spec: HashGridSpec, table: jax.Array, x: jax.Array) -> jax.Array:
         )  # [N, 2^d]
         border = jnp.any((cg == 0) | (cg == r - 1), axis=-1)  # [N, 2^d]
         w = jnp.where(border, 0.0, w)
+        if sat is not None:
+            # per corner: window center (cg - 0.5)/(r - 2), half-width
+            # 1/(r - 2), scaled to the Rb grid and clipped, int-truncated
+            # (gridencoder.cu:267-285)
+            rb = binary_vxl.shape[-1]
+            scale_re = 1.0 / float(r - 2)
+            pn = (cg.astype(jnp.float32) - 0.5) * scale_re
+            lo = jnp.clip(((pn - scale_re) * rb), 0, rb - 1).astype(jnp.int32)
+            hi = jnp.clip(((pn + scale_re) * rb), 0, rb - 1).astype(jnp.int32)
+            w = jnp.where(_window_occupied(sat, lo, hi), w, 0.0)
         wn = jnp.sum(w, axis=-1, keepdims=True) + 1e-9
         w = w / wn
 

@@ -57,13 +57,17 @@ class OptConfig:
     min_opacity: float = 0.005
     success_threshold: float = 0.8
     densify_grad_threshold: float = 0.0002
+    # cap for every per-group lr schedule; None = iterations. The CAT
+    # bungee variant pins all *_lr_max_steps to 30000 while training 40k
+    # iterations (CAT-3DGS/arguments/bungee.py).
+    lr_max_steps: int | None = None
 
 
 def make_optimizer(opt: OptConfig, spatial_lr_scale: float):
     """Per-group Adam; unknown groups (family-specific nets like planes,
     autoencoder, channel_ctx, field, mlp_attr, mlp_chcm, mlp_triplane)
     fall back to the mlp_grid schedule."""
-    m = opt.iterations
+    m = opt.lr_max_steps or opt.iterations
     lrs = {
         "offset": optim.expon_lr(opt.offset_lr_init * spatial_lr_scale,
                                  opt.offset_lr_final * spatial_lr_scale, m,

@@ -33,9 +33,21 @@ BIT2MB = hac_codec.BIT2MB
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _batch_context(state, cfg: tcgs.TCGSConfig, anchor_batch, planes):
-    ctx_feats = tcgs.triplane_context(state, cfg, anchor_batch, planes)
+def _batch_context(state, cfg: tcgs.TCGSConfig, anchor_batch, planes,
+                   knn_pos=None):
+    ctx_feats = tcgs.triplane_context(state, cfg, anchor_batch, planes,
+                                      knn_pos=knn_pos)
     return tcgs.grid_mlp_split(state, cfg, ctx_feats)
+
+
+def _batch_knn(knn_pos_all, lo, hi, batch):
+    """Pad one batch of knn positions, or None in repeat mode."""
+    if knn_pos_all is None:
+        return None
+    b = hi - lo
+    out = np.zeros((batch,) + knn_pos_all.shape[1:], np.float32)
+    out[:b] = knn_pos_all[lo:hi]
+    return jnp.asarray(out)
 
 
 def conduct_encoding(state, cfg: tcgs.TCGSConfig, out_dir: str,
@@ -62,6 +74,11 @@ def conduct_encoding(state, cfg: tcgs.TCGSConfig, out_dir: str,
     )
 
     anchor_sorted = data["anchor_int"].astype(np.float32) * cfg.voxel_size
+    # knn sampling positions derive from the quantized sorted anchors, the
+    # exact array the decoder reconstructs, so both sides agree
+    # (TC-GS gaussian_renderer/__init__.py:56-63 knnanchor)
+    knn_all = (tcgs.knn_positions(anchor_sorted, cfg.tri_samples)
+               if cfg.knn_sampling else None)
     means = {kk: float(data[kk].mean()) if n else 0.0
              for kk in ("feat", "scaling", "offset")}
 
@@ -74,7 +91,8 @@ def conduct_encoding(state, cfg: tcgs.TCGSConfig, out_dir: str,
         batch_anchor[:b] = anchor_sorted[lo:hi]
         ctx = jax.tree_util.tree_map(
             lambda x: np.asarray(x)[:b],
-            _batch_context(state, cfg, jnp.asarray(batch_anchor), planes_rec))
+            _batch_context(state, cfg, jnp.asarray(batch_anchor), planes_rec,
+                           _batch_knn(knn_all, lo, hi, BATCH)))
 
         feat = np.asarray(ste_multistep(
             jnp.asarray(data["feat"][lo:hi]), jnp.asarray(ctx["q_feat"]),
@@ -146,6 +164,8 @@ def conduct_decoding(state, cfg: tcgs.TCGSConfig, out_dir: str,
     anchor_int = anchor_int[sparse.morton_order_np(anchor_int)]
     assert anchor_int.shape[0] == n
     anchor_sorted = anchor_int.astype(np.float32) * cfg.voxel_size
+    knn_all = (tcgs.knn_positions(anchor_sorted, cfg.tri_samples)
+               if cfg.knn_sampling else None)
 
     cap = hac.bucket_capacity(n)
     dec_state = {
@@ -173,7 +193,8 @@ def conduct_decoding(state, cfg: tcgs.TCGSConfig, out_dir: str,
         batch_anchor[:b] = anchor_sorted[lo:hi]
         ctx = jax.tree_util.tree_map(
             lambda x: np.asarray(x)[:b],
-            _batch_context(dec_state, cfg, jnp.asarray(batch_anchor), planes_rec))
+            _batch_context(dec_state, cfg, jnp.asarray(batch_anchor),
+                           planes_rec, _batch_knn(knn_all, lo, hi, BATCH)))
 
         q_f = np.broadcast_to(ctx["q_feat"], (b, cfg.feat_dim)).reshape(-1)
         feat = ec.decode_gaussian(

@@ -32,7 +32,8 @@ class TCGSConfig(NamedTuple):
     update_hierachy_factor: int = 4
     tri_feat: int = 16  # triplane channels C
     tri_res: int = 32  # R (16 or 32 per dataset in run scripts)
-    tri_samples: int = 4  # K sample points per anchor (repeat mode)
+    tri_samples: int = 4  # K sample points per anchor
+    knn_sampling: bool = False  # sample at K nearest anchors (post-15k mode)
     ae_compressed: int = 8
     q_feat: float = 1.0
     q_scaling: float = 0.001
@@ -82,17 +83,47 @@ def normalize_coords(state: hac.State, x: jax.Array) -> jax.Array:
 
 
 def triplane_context(state: hac.State, cfg: TCGSConfig, anchor: jax.Array,
-                     planes: jax.Array | None = None) -> jax.Array:
-    """Context features for mlp_triplane: K repeated plane samples + anchor.
+                     planes: jax.Array | None = None,
+                     knn_pos: jax.Array | None = None) -> jax.Array:
+    """Context features for mlp_triplane: K plane samples + anchor.
 
-    `planes` overrides the field (decode path uses AE-reconstructed planes).
+    Sampling positions are the K nearest-neighbor anchor positions when
+    `knn_pos` [N, K, 3] is given (TC-GS gaussian_renderer/__init__.py:
+    56-63 knnanchor, positions detached), else the anchor itself repeated
+    K times (the reference's pre-15k `anchor.unsqueeze(1).repeat(1,K,1)`
+    mode). `planes` overrides the field (decode path uses
+    AE-reconstructed planes).
     """
     if planes is None:
         planes = state["nets"]["planes"]
-    xn = normalize_coords(state, anchor)
-    feats = tri.sample_triplane(planes, xn)  # [N, 3C]
-    feats = jnp.tile(feats, (1, cfg.tri_samples))
+    if knn_pos is not None:
+        n = anchor.shape[0]
+        pos = jax.lax.stop_gradient(knn_pos)
+        xn = normalize_coords(state, pos.reshape(-1, 3))
+        feats = tri.sample_triplane(planes, xn).reshape(n, -1)  # [N, K*3C]
+    else:
+        xn = normalize_coords(state, anchor)
+        feats = tri.sample_triplane(planes, xn)  # [N, 3C]
+        feats = jnp.tile(feats, (1, cfg.tri_samples))
     return jnp.concatenate([feats, anchor], axis=-1)
+
+
+def knn_positions(anchor_valid: np.ndarray, k: int) -> np.ndarray:
+    """K nearest-neighbor positions per anchor (self included, distance
+    order), float32 [N, K, 3] (TC-GS gaussian_model.py:1052-1059
+    init_knn_indice; cKDTree replaces sklearn NearestNeighbors). Falls
+    back to self-repeat when fewer than k anchors exist. Deterministic in
+    the input, so encoder and decoder derive identical positions from the
+    decoded quantized anchors."""
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(anchor_valid, np.float32)
+    n = pts.shape[0]
+    if n < k or n == 0:
+        return np.repeat(pts[:, None, :], max(k, 1), axis=1)
+    tree = cKDTree(pts)
+    _, nn = tree.query(pts, k=k)
+    return pts[np.atleast_2d(nn)].astype(np.float32)
 
 
 def grid_mlp_split(state: hac.State, cfg: TCGSConfig, ctx_feats: jax.Array):

@@ -193,6 +193,7 @@ def test_scene_bitstream_roundtrip(tmp_path, state):
     assert np.abs(got - data["feat"]).max() <= 2.0 * 0.5 + 1e-4
 
 
+@pytest.mark.slow
 def test_chcm_offset_scaling_heads_roundtrip(tmp_path):
     """With the optional chcm offsets/scaling adjustment heads enabled, the
     scene bitstream still round-trips (decode regenerates the adjusted

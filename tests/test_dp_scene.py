@@ -1,6 +1,7 @@
 """Multi-camera data-parallel HAC training on the 8-device CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -14,6 +15,7 @@ from gauspcc_tpu.render import raster
 from tests.test_hac_train import SMALL_CFG, _gt_scene, _orbit_camera, _render_gt, H, W
 
 
+@pytest.mark.slow
 def test_dp_scene_step_runs_and_improves():
     n_dev = 8
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))

@@ -94,3 +94,35 @@ def test_binarized_lookup_uses_signs():
     out_signed = hashgrid.mixed_encode(spec, signed, x, binarize=True)
     np.testing.assert_allclose(np.asarray(out_bin), np.asarray(out_signed),
                                atol=1e-6)
+
+
+def test_binary_vxl_masking():
+    """Corners with empty Rb-windows are excluded and weights renormalize
+    (gridencoder.cu:266-340 binary_vxl path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gauspcc_tpu.fields import hashgrid as hg
+
+    spec = hg.make_spec(num_dim=3, n_features=2, resolutions=(8, 16),
+                        log2_hashmap_size=12)
+    table = hg.init_table(jax.random.PRNGKey(0), spec, std=0.5)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((64, 3)).astype(np.float32))
+
+    full = jnp.ones((16, 16, 16), jnp.float32)
+    empty = jnp.zeros((16, 16, 16), jnp.float32)
+    out_none = hg.encode(spec, table, x)
+    out_full = hg.encode(spec, table, x, binary_vxl=full)
+    out_empty = hg.encode(spec, table, x, binary_vxl=empty)
+    # fully-occupied occupancy grid == no mask
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_none),
+                               rtol=1e-6)
+    # fully-empty grid kills every corner -> zero features
+    assert float(jnp.abs(out_empty).max()) == 0.0
+
+    # half-occupied: outputs differ from unmasked but stay finite
+    half = jnp.zeros((16, 16, 16), jnp.float32).at[:8].set(1.0)
+    out_half = hg.encode(spec, table, x, binary_vxl=half)
+    assert np.isfinite(np.asarray(out_half)).all()
+    assert float(jnp.abs(out_half - out_none).max()) > 0.0

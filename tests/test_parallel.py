@@ -1,6 +1,7 @@
 """Multi-chip (virtual 8-device CPU mesh) data-parallel training tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -20,6 +21,7 @@ def _patch(rng, n=400, extent=32):
     return np.unique(pts, axis=0)[:n].astype(np.int64)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_improves():
     n_dev = 8
     assert len(jax.devices()) >= n_dev

@@ -42,6 +42,7 @@ def _pcc():
     return pcc_model.init_params(jax.random.PRNGKey(3), cfg), cfg
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_is_deterministic(tmp_path):
     scene = _make_scene()
     # densification inside the window exercises opt-state remapping across

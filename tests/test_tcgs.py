@@ -117,3 +117,52 @@ def test_bitstream_roundtrip(tmp_path, state):
     assert np.isfinite(got).all()
     # quantization error bounded by the max adaptive Q (q_feat <= 2)
     assert np.abs(got - data["feat"]).max() <= 2.0 * 0.5 + 1e-4
+
+
+def test_knn_self_positions_equal_repeat_mode():
+    """knn_pos = the anchor repeated == the repeat-mode context exactly."""
+    rng = np.random.default_rng(5)
+    pts = hac.voxelize_points(
+        (rng.random((200, 3)) * 2 - 1).astype(np.float32), CFG.voxel_size)
+    st = tcgs.init_state(jax.random.PRNGKey(0), CFG, pts)
+    st = hac.update_anchor_bound(st)
+    anchor = hac.get_anchor(st, CFG.as_hac())
+    self_pos = jnp.repeat(anchor[:, None, :], CFG.tri_samples, axis=1)
+    a = tcgs.triplane_context(st, CFG, anchor)
+    b = tcgs.triplane_context(st, CFG, anchor, knn_pos=self_pos)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_knn_positions_orders_by_distance():
+    pts = np.array([[0.0, 0, 0], [1.0, 0, 0], [5.0, 0, 0]], np.float32)
+    pos = tcgs.knn_positions(pts, 2)
+    assert pos.shape == (3, 2, 3)
+    np.testing.assert_allclose(pos[0, 0], pts[0])  # self first
+    np.testing.assert_allclose(pos[0, 1], pts[1])  # then nearest
+    np.testing.assert_allclose(pos[2, 1], pts[1])
+
+
+@pytest.mark.slow
+def test_knn_mode_scene_roundtrip(tmp_path):
+    """Full scene bitstream round-trip with knn_sampling=True: decoder
+    re-derives the same knn positions from the decoded anchors."""
+    cfg = CFG._replace(knn_sampling=True)
+    rng = np.random.default_rng(6)
+    pts = hac.voxelize_points(
+        (rng.random((250, 3)) * 2 - 1).astype(np.float32), cfg.voxel_size)
+    st = tcgs.init_state(jax.random.PRNGKey(1), cfg, pts)
+    st = hac.update_anchor_bound(st)
+    a = dict(st["anchors"])
+    n = pts.shape[0]
+    a["anchor_feat"] = a["anchor_feat"].at[:n].set(
+        jnp.asarray(rng.normal(0, 0.5, (n, cfg.feat_dim)).astype(np.float32)))
+    st = dict(st, anchors=a)
+    pcc_params = pcc_model.init_params(jax.random.PRNGKey(2), PCC_CFG)
+    out = str(tmp_path / "bs")
+    sizes, _ = tcgs_codec.conduct_encoding(st, cfg, out, pcc_params, PCC_CFG)
+    dec_state, _ = tcgs_codec.conduct_decoding(st, cfg, out, pcc_params, PCC_CFG)
+    data = tcgs_codec.hac_codec._gather_sorted_attributes(st, cfg.as_hac())
+    assert int(np.asarray(dec_state["valid"]).sum()) == data["anchor_int"].shape[0]
+    got = np.asarray(dec_state["anchors"]["anchor_feat"])[:data["anchor_int"].shape[0]]
+    assert np.isfinite(got).all()
+    assert np.abs(got - data["feat"]).max() <= 2.0 * 0.5 + 1e-4

@@ -19,6 +19,7 @@ def _make_cloud(rng, n=1200, extent=64):
     return np.unique(base, axis=0).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_training_reduces_bpp(tmp_path):
     rng = np.random.default_rng(5)
     cfg = train_lib.TrainConfig(
