@@ -1,0 +1,155 @@
+"""Scene-scale TPU soak: train a family on a synthetic scene at realistic
+resolution/anchor count, then encode -> decode -> eval.
+
+The container ships no Mip-NeRF360/DB/T&T data (BASELINE.md), so the soak
+substitutes a procedural ground-truth scene — a few thousand colored
+Gaussians rendered with this repo's own rasterizer from orbit cameras —
+at eval-protocol scale (>=512x512 images, tens of thousands of anchors,
+full iteration budget). Everything else is the real pipeline: the same
+train_scene / conduct_encoding / conduct_decoding / evaluate path a real
+dataset takes (reference protocol: scripts/gs_compress/run_ours_hac.sh).
+
+  python -m gauspcc_tpu.cli.soak --model hac --iters 30000 --hw 512 \
+      --out runs/soak_hac
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+class SyntheticScene:
+    """Duck-typed Scene (train_cameras/test_cameras/points/cameras_extent)."""
+
+    def __init__(self, cams_train, cams_test, points, extent):
+        self.train_cameras = cams_train
+        self.test_cameras = cams_test
+        self.points = points
+        self.cameras_extent = extent
+
+
+def _orbit_camera(uid, angle, hw, radius=4.0, height=0.6, fov=0.9):
+    from gauspcc_tpu.data.cameras import Camera
+
+    pos = np.array([radius * np.cos(angle), height, radius * np.sin(angle)])
+    fwd = -pos / np.linalg.norm(pos)
+    up0 = np.array([0.0, 1.0, 0.0])
+    right = np.cross(up0, fwd)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    r_w2v = np.stack([right, up, fwd])
+    t = -r_w2v @ pos
+    return Camera(uid=uid, R=r_w2v.T, T=t, fovx=fov, fovy=fov,
+                  width=hw, height=hw)
+
+
+def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int):
+    import jax.numpy as jnp
+
+    from gauspcc_tpu.render import raster
+
+    # clustered colored Gaussian field (structure at several scales)
+    n_clusters = max(8, n_gt // 150)
+    centers = rng.random((n_clusters, 3)) * 1.6 - 0.8
+    idx = rng.integers(0, n_clusters, n_gt)
+    means = (centers[idx] + rng.normal(0, 0.12, (n_gt, 3))).astype(np.float32)
+    colors = rng.random((n_gt, 3)).astype(np.float32)
+    scales = (rng.random((n_gt, 3)) * 0.05 + 0.015).astype(np.float32)
+    rots = np.tile([1.0, 0, 0, 0], (n_gt, 1)).astype(np.float32)
+    opac = (rng.random((n_gt, 1)) * 0.6 + 0.3).astype(np.float32)
+
+    cams = []
+    for i, ang in enumerate(np.linspace(0, 2 * np.pi, n_cams, endpoint=False)):
+        c = _orbit_camera(i, ang, hw, radius=3.5 + 0.6 * np.sin(3 * ang),
+                          height=0.4 + 0.5 * np.cos(2 * ang))
+        rcfg = raster.RasterConfig(hw, hw, c.tanfovx, c.tanfovy,
+                                   max_gaussians_per_tile=256)
+        img, _ = raster.rasterize(
+            means3d=jnp.asarray(means), colors=jnp.asarray(colors),
+            opacities=jnp.asarray(opac), scales=jnp.asarray(scales),
+            rotations=jnp.asarray(rots),
+            viewmatrix=jnp.asarray(c.world_view_transform),
+            bg_color=jnp.zeros(3), cfg=rcfg)
+        c.image = np.asarray(img)
+        cams.append(c)
+
+    sel = rng.integers(0, n_gt, n_seed)
+    seed_pts = (means[sel]
+                + rng.normal(0, 0.02, (n_seed, 3)).astype(np.float32))
+    extent = float(np.linalg.norm(
+        np.ptp(np.stack([c.camera_center for c in cams]), axis=0)) * 0.5)
+    n_test = max(2, n_cams // 8)
+    return SyntheticScene(cams[n_test:], cams[:n_test],
+                          seed_pts.astype(np.float32), extent)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="gauspcc-soak")
+    p.add_argument("--model", default="hac",
+                   choices=("hac", "hac_plus", "tcgs", "cat3dgs"))
+    p.add_argument("--iters", type=int, default=30_000)
+    p.add_argument("--hw", type=int, default=512)
+    p.add_argument("--gt_gaussians", type=int, default=6000)
+    p.add_argument("--cams", type=int, default=24)
+    p.add_argument("--seed_points", type=int, default=30_000)
+    p.add_argument("--voxel_size", type=float, default=0.01)
+    p.add_argument("--lmbda", type=float, default=1e-3)
+    p.add_argument("--out", default="runs/soak")
+    p.add_argument("--pcc_ckpt", default="model/gauspcgc/best_model.npz")
+    p.add_argument("--checkpoint_every", type=int, default=2000)
+    p.add_argument("--log_every", type=int, default=200)
+    p.add_argument("--resume", default="")
+    args = p.parse_args(argv)
+
+    import jax
+
+    from gauspcc_tpu.codecs.gauspcgc import model as pcc_model
+    from gauspcc_tpu.models import registry
+    from gauspcc_tpu.models.hac import pipeline
+    from gauspcc_tpu.models.hac import train as hac_train
+    from gauspcc_tpu.utils import checkpoint
+    from gauspcc_tpu.utils.scalars import ScalarLogger
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    scene = build_scene(rng, args.hw, args.gt_gaussians, args.cams,
+                        args.seed_points)
+    print(f"scene built in {time.time() - t0:.1f}s: "
+          f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} "
+          f"test cams @ {args.hw}x{args.hw}, {scene.points.shape[0]} seeds")
+
+    fam = registry.get_family(args.model)
+    cfg = fam.make_config(voxel_size=args.voxel_size)
+    opt = hac_train.OptConfig(iterations=args.iters, lmbda=args.lmbda)
+    pcc_cfg = pcc_model.NetConfig()
+    pcc_params = pcc_model.init_params(jax.random.PRNGKey(0), pcc_cfg)
+    if args.pcc_ckpt and os.path.exists(args.pcc_ckpt):
+        pcc_params = checkpoint.load_pytree(args.pcc_ckpt, pcc_params)
+        print(f"codec checkpoint: {args.pcc_ckpt}")
+
+    t0 = time.time()
+    state, results = pipeline.train_scene(
+        scene, cfg, opt, args.out, pcc_params=pcc_params, pcc_cfg=pcc_cfg,
+        family=fam, log_every=args.log_every,
+        checkpoint_every=args.checkpoint_every,
+        start_checkpoint=args.resume or None,
+        scalar_logger=ScalarLogger(args.out),
+    )
+    wall = time.time() - t0
+    results["train_wall_s"] = wall
+    results["ms_per_iter"] = wall / max(args.iters, 1) * 1e3
+    json.dump({k: v for k, v in results.items() if k != "per_view"},
+              open(os.path.join(args.out, "soak_summary.json"), "w"),
+              indent=2, default=float)
+    print(f"soak done in {wall/60:.1f} min "
+          f"({results['ms_per_iter']:.1f} ms/iter): "
+          f"PSNR {results.get('psnr')}, size {results.get('size_mb')} MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,7 @@ class RasterConfig(NamedTuple):
     max_gaussians_per_tile: int = 256  # K
     tile_chunk: int = 256  # tiles per lax.map step
     use_pallas_blend: bool = False  # fused eval-only blend (no autodiff)
+    blend_bf16: bool = True  # bf16 operands for the blend matmuls (f32 accum)
 
     @property
     def tiles_x(self) -> int:
@@ -274,16 +275,22 @@ def rasterize(
         # transmittance BEFORE each gaussian: exclusive prefix sum of
         # log(1-a) over depth, computed as one MXU matmul against a strict
         # upper-triangular mask (XLA's cumsum lowers to a sequential scan
-        # on TPU; the matmul form measured ~5x faster end-to-end)
+        # on TPU; the matmul form measured ~5x faster end-to-end).
+        # blend_bf16 runs both contractions with bf16 operands and f32
+        # accumulation: log1p(-alpha) spans only [-7, 0] after the alpha
+        # floor (1/255) and T cutoff (1e-4), well inside bf16's relative
+        # precision at this magnitude.
+        mm_dt = jnp.bfloat16 if cfg.blend_bf16 else jnp.float32
         log1ma = jnp.log1p(-alpha)
-        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]).astype(
-            jnp.float32)
+        tri = (jnp.arange(k)[:, None] < jnp.arange(k)[None, :]).astype(mm_dt)
         t_before = jnp.exp(jnp.einsum(
-            "cpk,kj->cpj", log1ma, tri, preferred_element_type=jnp.float32))
+            "cpk,kj->cpj", log1ma.astype(mm_dt), tri,
+            preferred_element_type=jnp.float32))
         # reference stops once T < 1e-4
         w = jnp.where(t_before >= 1e-4, alpha * t_before, 0.0)  # [C, 256, K]
         rgb = jnp.einsum(
-            "cpk,ckr->cpr", w, g_col, preferred_element_type=jnp.float32
+            "cpk,ckr->cpr", w.astype(mm_dt), g_col.astype(mm_dt),
+            preferred_element_type=jnp.float32
         )  # [C, 256, 3]
         t_final = jnp.exp(jnp.sum(log1ma, axis=-1))  # [C, 256]
         rgb = rgb + t_final[:, :, None] * bg_color[None, None, :]

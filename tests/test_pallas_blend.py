@@ -78,7 +78,8 @@ def test_rasterize_pallas_path_matches_xla_interpret(monkeypatch):
     view = jnp.eye(4)
     bg = jnp.asarray([0.2, 0.1, 0.0])
 
-    cfg_x = raster.RasterConfig(48, 64, 0.5, 0.5, max_gaussians_per_tile=64)
+    cfg_x = raster.RasterConfig(48, 64, 0.5, 0.5, max_gaussians_per_tile=64,
+                                blend_bf16=False)  # the kernel computes f32
     cfg_p = cfg_x._replace(use_pallas_blend=True)
     args = dict(means3d=jnp.asarray(means), colors=jnp.asarray(colors),
                 opacities=jnp.asarray(opac), scales=jnp.asarray(scales),

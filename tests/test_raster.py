@@ -130,7 +130,8 @@ def test_gradients_flow():
 
 
 def test_grad_matches_finite_difference():
-    cfg = _cfg(h=32, w=32)
+    # exact-math check: pin the blend to f32 (bf16 noise breaks FD deltas)
+    cfg = _cfg(h=32, w=32, blend_bf16=False)
     g = _one_gaussian(xyz=(0.0, 0.0, 5.0), opacity=0.6, scale=0.4)
 
     def loss(opacity_val):
@@ -163,3 +164,27 @@ def test_tile_overflow_graceful():
         viewmatrix=_identity_view(), bg_color=jnp.zeros(3), cfg=cfg,
     )
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_bf16_blend_close_to_f32():
+    """The default bf16 blend must be visually indistinguishable from the
+    f32 blend (>= ~45 dB against it) on a many-gaussian scene."""
+    rng = np.random.default_rng(7)
+    n = 1500
+    cfg32 = _cfg(h=64, w=64, blend_bf16=False)
+    cfg16 = _cfg(h=64, w=64, blend_bf16=True)
+    args = dict(
+        means3d=jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+                            + np.array([0, 0, 4.0], np.float32)),
+        colors=jnp.asarray(rng.random((n, 3)).astype(np.float32)),
+        opacities=jnp.asarray((rng.random((n, 1)) * 0.9).astype(np.float32)),
+        scales=jnp.asarray((rng.random((n, 3)) * 0.1 + 0.02).astype(np.float32)),
+        rotations=jnp.asarray(np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)),
+        viewmatrix=_identity_view(),
+        bg_color=jnp.zeros(3),
+    )
+    a, _ = raster.rasterize(cfg=cfg32, **args)
+    b, _ = raster.rasterize(cfg=cfg16, **args)
+    mse = float(jnp.mean((a - b) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 45.0, psnr
