@@ -64,6 +64,7 @@ def test_rate_reasonable_for_untrained_net(tmp_path, params):
     assert 1.0 < out["bpp"] < 50.0
 
 
+@pytest.mark.slow
 def test_level_bits_matches_actual_rate(tmp_path, params):
     """The training objective (teacher-forced bits) should closely track the
     real coded size — the estimate/actual oracle pair from SURVEY.md §4."""

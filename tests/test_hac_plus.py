@@ -92,6 +92,7 @@ def test_roundtrip(tmp_path, state, pcc_params):
         np.testing.assert_allclose(got_feat[lo:hi], want, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_training_step_with_mixture_rate(state):
     params, rest = hac.split_state(state)
     rcfg = raster.RasterConfig(32, 32, 0.5, 0.5, max_gaussians_per_tile=32)

@@ -79,6 +79,7 @@ def setup():
     return cams, state
 
 
+@pytest.mark.slow
 def test_training_improves_psnr(setup):
     cams, state = setup
     opt = hac_train.OptConfig(iterations=200, lmbda=1e-3)

@@ -48,6 +48,7 @@ def test_dp_train_step_runs_and_improves():
     assert last < first  # moving downhill on random-but-stationary statistics
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device_gradients():
     """With identical patches on every device, the DP update must equal the
     single-device update (pmean of equal grads is a no-op)."""
