@@ -124,8 +124,19 @@ def main(argv=None):
           f"test cams @ {args.hw}x{args.hw}, {scene.points.shape[0]} seeds")
 
     fam = registry.get_family(args.model)
+    if args.iters < 30_000:
+        # compress the phase schedule proportionally so a shortened soak
+        # still reaches the rate phase (reference schedules assume 30k)
+        import dataclasses
+
+        scale = 30_000 / args.iters
+        base_phase = fam.phase_of_step
+        fam = dataclasses.replace(
+            fam, phase_of_step=lambda it: base_phase(int(it * scale)))
     cfg = fam.make_config(voxel_size=args.voxel_size)
-    opt = hac_train.OptConfig(iterations=args.iters, lmbda=args.lmbda)
+    opt = hac_train.OptConfig(
+        iterations=args.iters, lmbda=args.lmbda,
+        update_until=min(15_000, args.iters // 2))
     pcc_cfg = pcc_model.NetConfig()
     pcc_params = pcc_model.init_params(jax.random.PRNGKey(0), pcc_cfg)
     if args.pcc_ckpt and os.path.exists(args.pcc_ckpt):

@@ -160,6 +160,8 @@ def train_scene(
                 log(f"iter {it}: anchors {info['n_anchors']} "
                     f"(+{info['n_added']}/-{info['n_pruned']})")
         if checkpoint_every and it % checkpoint_every == 0:
+            if os.path.exists(ckpt_path):  # keep one generation of history
+                os.replace(ckpt_path, ckpt_path + ".prev")
             checkpoint.save_training_checkpoint(ckpt_path, {
                 "params": params, "rest": rest, "opt_state": opt_state,
                 "stats": stats, "iteration": it, "key": key, "rng": rng,

@@ -142,6 +142,14 @@ def make_train_step(cfg, rcfg: raster.RasterConfig,
 
         if grad_mask is not None:
             grads = grad_mask(grads, phase)
+        # NaN guard: a single non-finite gradient event would poison the
+        # Adam moments and destroy the run (observed in a 512px soak);
+        # drop non-finite components and surface the count as a metric
+        nonfinite = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)
+        )
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
@@ -168,6 +176,7 @@ def make_train_step(cfg, rcfg: raster.RasterConfig,
         metrics = {
             "loss": loss, "l1": aux["l1"], "psnr": aux["psnr"],
             "bit_per_param": aux["bit_per_param"],
+            "nonfinite_grads": nonfinite,
         }
         return params, opt_state, stats, metrics
 
