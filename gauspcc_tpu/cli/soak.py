@@ -48,7 +48,8 @@ def _orbit_camera(uid, angle, hw, radius=4.0, height=0.6, fov=0.9):
                   width=hw, height=hw)
 
 
-def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int):
+def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int,
+                kind: str = "smooth"):
     import jax.numpy as jnp
 
     from gauspcc_tpu.render import raster
@@ -58,23 +59,42 @@ def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int):
     centers = rng.random((n_clusters, 3)) * 1.6 - 0.8
     idx = rng.integers(0, n_clusters, n_gt)
     means = (centers[idx] + rng.normal(0, 0.12, (n_gt, 3))).astype(np.float32)
-    colors = rng.random((n_gt, 3)).astype(np.float32)
-    scales = (rng.random((n_gt, 3)) * 0.05 + 0.015).astype(np.float32)
+    if kind == "smooth":
+        # fittable GT (the reference is evaluated on photographic scenes,
+        # which are locally smooth): colors are a low-frequency function of
+        # position, so nearby Gaussians agree and an anchor's neural
+        # gaussians can actually represent its neighborhood
+        freqs = np.array([[2.1, 0.7, 1.3], [0.9, 2.4, 1.7], [1.5, 1.1, 2.6]])
+        phases = np.array([0.0, 2.1, 4.2])
+        colors = (0.5 + 0.45 * np.sin(means @ freqs.T + phases)).astype(
+            np.float32)
+        scales = (rng.random((n_gt, 3)) * 0.06 + 0.03).astype(np.float32)
+        opac = (rng.random((n_gt, 1)) * 0.45 + 0.5).astype(np.float32)
+    else:  # "hard": round-2's high-frequency field, kept for stress runs
+        colors = rng.random((n_gt, 3)).astype(np.float32)
+        scales = (rng.random((n_gt, 3)) * 0.05 + 0.015).astype(np.float32)
+        opac = (rng.random((n_gt, 1)) * 0.6 + 0.3).astype(np.float32)
     rots = np.tile([1.0, 0, 0, 0], (n_gt, 1)).astype(np.float32)
-    opac = (rng.random((n_gt, 1)) * 0.6 + 0.3).astype(np.float32)
 
     cams = []
+    render_fn = None
     for i, ang in enumerate(np.linspace(0, 2 * np.pi, n_cams, endpoint=False)):
         c = _orbit_camera(i, ang, hw, radius=3.5 + 0.6 * np.sin(3 * ang),
                           height=0.4 + 0.5 * np.cos(2 * ang))
-        rcfg = raster.RasterConfig(hw, hw, c.tanfovx, c.tanfovy,
-                                   max_gaussians_per_tile=256)
-        img, _ = raster.rasterize(
+        if render_fn is None:
+            import functools
+
+            import jax
+
+            rcfg = raster.RasterConfig(hw, hw, c.tanfovx, c.tanfovy,
+                                       max_gaussians_per_tile=256)
+            render_fn = jax.jit(functools.partial(raster.rasterize, cfg=rcfg))
+        img, _ = render_fn(
             means3d=jnp.asarray(means), colors=jnp.asarray(colors),
             opacities=jnp.asarray(opac), scales=jnp.asarray(scales),
             rotations=jnp.asarray(rots),
             viewmatrix=jnp.asarray(c.world_view_transform),
-            bg_color=jnp.zeros(3), cfg=rcfg)
+            bg_color=jnp.zeros(3))
         c.image = np.asarray(img)
         cams.append(c)
 
@@ -97,6 +117,7 @@ def main(argv=None):
     p.add_argument("--gt_gaussians", type=int, default=6000)
     p.add_argument("--cams", type=int, default=24)
     p.add_argument("--seed_points", type=int, default=30_000)
+    p.add_argument("--scene", default="smooth", choices=("smooth", "hard"))
     p.add_argument("--voxel_size", type=float, default=0.01)
     p.add_argument("--lmbda", type=float, default=1e-3)
     p.add_argument("--out", default="runs/soak")
@@ -118,7 +139,7 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     t0 = time.time()
     scene = build_scene(rng, args.hw, args.gt_gaussians, args.cams,
-                        args.seed_points)
+                        args.seed_points, kind=args.scene)
     print(f"scene built in {time.time() - t0:.1f}s: "
           f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} "
           f"test cams @ {args.hw}x{args.hw}, {scene.points.shape[0]} seeds")

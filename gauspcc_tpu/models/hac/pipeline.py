@@ -216,12 +216,22 @@ def render_sets(state, cfg, cameras, out_dir: str,
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
     renders = []
     t_total = 0.0
+    warmed: set = set()
     for i, cam in enumerate(cameras):
         rcfg = _raster_cfg(cam)
         ca = hac_render.CameraArrays.from_camera(cam, with_image=False)
+        if (rcfg, cam.height, cam.width) not in warmed:
+            # compile once per shape bucket outside the FPS clock (the
+            # reference's CUDA kernels are pre-built; counting XLA compile
+            # as render time would misreport steady-state FPS)
+            hac_render.render_image(
+                state, cfg, ca, rcfg, bg, decoded=decoded
+            ).block_until_ready()
+            warmed.add((rcfg, cam.height, cam.width))
         t0 = time.time()
-        out = hac_render.render_view(state, cfg, ca, rcfg, bg, decoded=decoded)
-        img = np.asarray(out["render"])  # blocks
+        img = np.asarray(
+            hac_render.render_image(state, cfg, ca, rcfg, bg, decoded=decoded)
+        )  # blocks
         t_total += time.time() - t0
         renders.append(img)
         _save_png(img, os.path.join(out_dir, f"{i:05d}.png"))

@@ -6,6 +6,7 @@ prefilter_voxel :250-305) and the loss in HAC/train.py:190-202.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -73,6 +74,28 @@ def render_view(state, cfg: hac.HACConfig, cam: CameraArrays,
         "visible_anchor": visible,
         "rate": rate,
     }
+
+
+@functools.lru_cache(maxsize=64)
+def _eval_render_jit(cfg, rcfg, decoded: bool):
+    """One compiled eval-render program per (config, raster shape, decoded)
+    triple; further shape variation (anchor capacity) is handled by jit's
+    own cache. Returns only the image so nothing else transfers back over
+    the device link (the reference's render_set path reuses one CUDA
+    graphically-identical kernel per view, HAC/train.py:385-437)."""
+
+    def f(state, cam, bg_color):
+        out = render_view(state, cfg, cam, rcfg, bg_color, decoded=decoded)
+        return out["render"]
+
+    return jax.jit(f)
+
+
+def render_image(state, cfg: hac.HACConfig, cam: CameraArrays,
+                 rcfg: raster.RasterConfig, bg_color: jax.Array,
+                 *, decoded: bool = False) -> jax.Array:
+    """Jitted eval render: [3, H, W] image only."""
+    return _eval_render_jit(cfg, rcfg, bool(decoded))(state, cam, bg_color)
 
 
 def training_loss(params, rest, cfg: hac.HACConfig, cam: CameraArrays,
