@@ -190,6 +190,186 @@ def encode_plane(params: dict, latent: np.ndarray, sym_bound: int = 256):
     return head + payload
 
 
+# ---------------------------------------------------------------------------
+# fixed-point ARM: backend-independent decode
+# ---------------------------------------------------------------------------
+#
+# The reference pins decode determinism with
+# torch.use_deterministic_algorithms (CAT-3DGS/scene/bitstream/
+# decode.py:307-310), which only fixes intra-torch runs: a float MLP
+# evaluated by a different BLAS/backend can still flip a CDF bin and
+# derail the range decoder. Here the ARM MLP is integerized at encode
+# time (Q12 weights / Q8 activations, int64 accumulation) and the
+# Laplace CDF table is built with an integer exp (Q30 product-of-
+# constants factorization), so encoder and decoder agree bit-exactly on
+# ANY backend — the quantized weights travel in the bitstream.
+
+ARM_W_FRAC = 12  # weight fraction bits
+ARM_A_FRAC = 8  # activation fraction bits
+_EXP_T_MAX = 22 << 16  # exp(-22) rounds to 0 in Q30
+# exp(-2^(i-16)) in Q30 for t_q16 bits 0..20 (hard-coded so no libm call
+# can perturb the table across platforms)
+_EXP_C = np.array([
+    1073725440, 1073709056, 1073676290, 1073610760, 1073479712, 1073217664,
+    1072693760, 1071646719, 1069555701, 1065385899, 1057095000, 1040706261,
+    1008687096, 947573834, 836230973, 651257337, 395007542, 145315154,
+    19666268, 360200, 121,
+], dtype=np.int64)
+
+
+def _exp_neg_q30(t_q16: np.ndarray) -> np.ndarray:
+    """exp(-t) for t = t_q16 / 2^16 >= 0, result in Q30 (int64, exact)."""
+    t = np.minimum(t_q16.astype(np.int64), _EXP_T_MAX)
+    acc = np.full(t.shape, np.int64(1) << 30, np.int64)
+    for i in range(_EXP_C.shape[0]):
+        on = ((t >> i) & 1) == 1
+        acc = np.where(on, (acc * _EXP_C[i]) >> 30, acc)
+    return acc
+
+
+def quantize_arm(params: dict) -> dict:
+    """Float ARM pytree -> integer pytree (the form that ships in the
+    bitstream). Weights Q12 int32; biases at the Q20 accumulator scale."""
+    layers = []
+    for layer in params["layers"]:
+        res = "res_lin" in layer
+        lin = layer["res_lin"] if res else layer["lin"]
+        w = np.asarray(lin["w"], np.float64)
+        b = np.asarray(lin["b"], np.float64)
+        layers.append({
+            "res": res,
+            "w": np.round(w * (1 << ARM_W_FRAC)).astype(np.int32),
+            "b": np.round(b * (1 << (ARM_W_FRAC + ARM_A_FRAC))).astype(np.int64),
+        })
+    return {"layers": layers}
+
+
+def _arm_apply_fixed(qparams: dict, ctx_int: np.ndarray) -> np.ndarray:
+    """ctx_int [B, 12] integer latents -> (mu_q8, ls_q8) int64 [B, 2]."""
+    x = ctx_int.astype(np.int64) << ARM_A_FRAC  # Q8
+    half = np.int64(1) << (ARM_W_FRAC - 1)
+    for layer in qparams["layers"][:-1]:
+        acc = x @ layer["w"].astype(np.int64) + layer["b"]  # Q20
+        y = (acc + half) >> ARM_W_FRAC  # back to Q8, round-half-up
+        if layer["res"]:
+            y = y + x
+        x = np.maximum(y, 0)
+    last = qparams["layers"][-1]
+    acc = x @ last["w"].astype(np.int64) + last["b"]
+    return (acc + half) >> ARM_W_FRAC  # raw (mu, log_scale) in Q8
+
+
+_LS_MIN_Q8 = -10 * 256
+_LS_MAX_Q8 = 3537  # 13.8155 * 256
+
+
+def _laplace_table_fixed(mu_q8, ls_q8, rmin: int, rmax: int) -> np.ndarray:
+    """uint16-normalized Laplace CDF rows from integer (mu, log_scale).
+
+    scale = exp(-0.5 * ls); cdf(x) = 0.5 exp(-(mu-x)/scale) below mu and
+    1 - 0.5 exp(-(x-mu)/scale) above — all in integer fixed point."""
+    ls = np.clip(ls_q8, _LS_MIN_Q8, _LS_MAX_Q8).astype(np.int64)
+    # 1/scale = exp(ls / 512): Q16 via exp(-|x|) and an integer reciprocal
+    t_pos = np.abs(ls) << 7  # |ls|/512 in Q16
+    e = _exp_neg_q30(t_pos)
+    inv_scale_q16 = np.where(
+        ls >= 0,
+        (np.int64(1) << 46) // np.maximum(e, 1),  # exp(+) = 1/exp(-)
+        e >> 14,
+    )
+
+    lp = rmax - rmin + 2
+    # symbol boundaries x = rmin - 0.5 + j, in Q8 (exact)
+    xs_q8 = ((np.arange(lp, dtype=np.int64) + rmin) << 8) - 128
+    d_q8 = xs_q8[None, :] - mu_q8.astype(np.int64)[:, None]
+    t_q16 = (np.abs(d_q8) * inv_scale_q16[:, None]) >> 8
+    eh = _exp_neg_q30(t_q16)  # Q30; 0.5*e is e at Q31
+    cdf_q31 = np.where(d_q8 < 0, eh, (np.int64(1) << 31) - eh)
+    new_max = np.int64(2**16 - (lp - 1))
+    v = (cdf_q31 * new_max + (np.int64(1) << 30)) >> 31
+    # fixed-point exp is monotone only to ~1 ulp Q30; make rows
+    # non-decreasing before the strictly-increasing +arange offset
+    v = np.maximum.accumulate(v, axis=1)
+    return (v + np.arange(lp, dtype=np.int64)).astype(np.uint16)
+
+
+def pack_arm(qparams: dict) -> bytes:
+    """Serialize an integer ARM for the bitstream header."""
+    import struct as _struct
+
+    out = [_struct.pack("<I", len(qparams["layers"]))]
+    for layer in qparams["layers"]:
+        w, b = layer["w"], layer["b"]
+        out.append(_struct.pack("<III", int(layer["res"]), *w.shape))
+        out.append(w.astype("<i4").tobytes())
+        out.append(b.astype("<i8").tobytes())
+    return b"".join(out)
+
+
+def unpack_arm(buf: bytes, off: int = 0):
+    """-> (qparams, bytes consumed)."""
+    import struct as _struct
+
+    (n_layers,) = _struct.unpack_from("<I", buf, off)
+    off0, off = off, off + 4
+    layers = []
+    for _ in range(n_layers):
+        res, din, dout = _struct.unpack_from("<III", buf, off)
+        off += 12
+        w = np.frombuffer(buf, "<i4", din * dout, off).reshape(din, dout)
+        off += 4 * din * dout
+        b = np.frombuffer(buf, "<i8", dout, off)
+        off += 8 * dout
+        layers.append({"res": bool(res), "w": w.copy(), "b": b.copy()})
+    return {"layers": layers}, off - off0
+
+
+def encode_plane_fixed(qparams: dict, latent: np.ndarray,
+                       sym_bound: int = 256) -> bytes:
+    """encode_plane with the integer ARM + integer CDF tables."""
+    from gauspcc_tpu.ops import coder
+
+    h, w = latent.shape
+    lat = np.clip(np.round(latent), -sym_bound, sym_bound).astype(np.int64)
+    pad = MASK_SIZE // 2
+    padded = np.zeros((h + 2 * pad, w + 2 * pad), np.int64)
+    padded[pad:-pad, pad:-pad] = lat
+    ii, jj = np.mgrid[0:h, 0:w]
+    ctx = _ctx_np(padded, ii.reshape(-1), jj.reshape(-1))
+    raw = _arm_apply_fixed(qparams, ctx)
+    rmin = int(lat.min())
+    rmax = int(lat.max())
+    table = _laplace_table_fixed(raw[:, 0], raw[:, 1], rmin, rmax)
+
+    order = np.concatenate([i_ * w + j_ for i_, j_ in coding_waves(h, w)])
+    syms = (lat.reshape(-1)[order] - rmin).astype(np.int16)
+    payload = coder.encode_int16_cdf(table[order], syms)
+    head = np.array([h, w, rmin, rmax], np.int32).tobytes()
+    return head + payload
+
+
+def decode_plane_fixed(qparams: dict, stream: bytes) -> np.ndarray:
+    """Wavefront decode with integer-only probability evaluation."""
+    from gauspcc_tpu.ops import coder as coder_lib
+
+    h, w, rmin, rmax = (int(v) for v in np.frombuffer(stream[:16], np.int32))
+    payload = stream[16:]
+    pad = MASK_SIZE // 2
+    padded = np.zeros((h + 2 * pad, w + 2 * pad), np.int64)
+    dec = coder_lib.IncrementalDecoder(payload, h * w)
+    out = np.zeros((h, w), np.float32)
+    for ii, jj in coding_waves(h, w):
+        ctx = _ctx_np(padded, ii, jj)
+        raw = _arm_apply_fixed(qparams, ctx)
+        syms = dec.decode(_laplace_table_fixed(raw[:, 0], raw[:, 1],
+                                               rmin, rmax))
+        vals = syms.astype(np.int64) + rmin
+        padded[ii + pad, jj + pad] = vals
+        out[ii, jj] = vals
+    dec.close()
+    return out
+
+
 def decode_plane(params: dict, stream: bytes) -> np.ndarray:
     """Wavefront decode of one latent plane.
 

@@ -51,16 +51,22 @@ def _chcm_adjust(state, cfg: cat.CATConfig, hyper, feat_q):
 
 
 def encode_triplanes(state, cfg: cat.CATConfig, out_dir: str) -> int:
-    """STE-quantize all plane latents and ARM-wavefront-encode them.
-    Returns total bits."""
+    """STE-quantize all plane latents and ARM-wavefront-encode them with
+    the INTEGER ARM (arm.quantize_arm): the quantized weights ship in
+    arm_q.bin so decode is backend-independent (the reference instead
+    forces torch-deterministic algorithms, decode.py:307-310, which does
+    not survive a backend change). Returns total bits incl. the weights."""
     f = state["nets"]["field"]
     planes_q = [np.asarray(p) for p in
                 cat_field.quantized_planes(f, cfg.field)]
-    bits = 0
+    qarms = {g: arm.quantize_arm(f["arms"][g]) for g in _GROUPS}
+    blob = b"".join(arm.pack_arm(qarms[g]) for g in _GROUPS)
+    open(os.path.join(out_dir, "arm_q.bin"), "wb").write(blob)
+    bits = len(blob) * 8
     for si, planes in enumerate(planes_q):
         for p, g in enumerate(_GROUPS):
             for c in range(planes.shape[1]):
-                stream = arm.encode_plane(f["arms"][g], planes[p, c])
+                stream = arm.encode_plane_fixed(qarms[g], planes[p, c])
                 path = os.path.join(out_dir, f"tri_{si}_{g}_{c}.b")
                 open(path, "wb").write(stream)
                 bits += len(stream) * 8
@@ -68,7 +74,12 @@ def encode_triplanes(state, cfg: cat.CATConfig, out_dir: str) -> int:
 
 
 def decode_triplanes(state, cfg: cat.CATConfig, out_dir: str) -> list:
-    f = state["nets"]["field"]
+    """Decode latents using only the shipped integer ARM weights."""
+    blob = open(os.path.join(out_dir, "arm_q.bin"), "rb").read()
+    qarms, off = {}, 0
+    for g in _GROUPS:
+        qarms[g], used = arm.unpack_arm(blob, off)
+        off += used
     planes_q = []
     for si, r in enumerate(cfg.field.resolutions()):
         scale_planes = np.zeros((3, cfg.tri_feat, r, r), np.float32)
@@ -77,7 +88,7 @@ def decode_triplanes(state, cfg: cat.CATConfig, out_dir: str) -> list:
                 stream = open(
                     os.path.join(out_dir, f"tri_{si}_{g}_{c}.b"), "rb"
                 ).read()
-                scale_planes[p, c] = arm.decode_plane(f["arms"][g], stream)
+                scale_planes[p, c] = arm.decode_plane_fixed(qarms[g], stream)
         planes_q.append(jnp.asarray(scale_planes))
     return planes_q
 

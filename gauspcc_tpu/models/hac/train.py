@@ -239,7 +239,7 @@ def adjust_anchor(state, stats, opt_state, cfg: hac.HACConfig, opt: OptConfig,
         cur_size = cfg.voxel_size * max(size_factor, 1)
         sel_xyz = all_xyz[candidate]
         grid = np.round(sel_xyz / cur_size).astype(np.int64)
-        uniq, first_idx = np.unique(grid, axis=0, return_index=True)
+        uniq, inv = np.unique(grid, axis=0, return_inverse=True)
         # drop candidates whose coarse cell already hosts an anchor
         coarse_existing = set(map(tuple, np.round(
             anchor_q[idx_valid] / cur_size
@@ -260,8 +260,14 @@ def adjust_anchor(state, stats, opt_state, cfg: hac.HACConfig, opt: OptConfig,
             cand_anchor / cfg.voxel_size
         ).astype(np.int64).tolist()))
 
+        # feat seeding = element-wise max over every candidate landing in
+        # the cell (torch_scatter.scatter_max in the reference,
+        # gaussian_model.py:881-882), not just the first candidate
         sel_feat = np.repeat(anchors["anchor_feat"], k, axis=0)[candidate]
-        feat_src = sel_feat[first_idx[keep]][keep2]
+        feat_max = np.full((uniq.shape[0], sel_feat.shape[1]), -np.inf,
+                           sel_feat.dtype)
+        np.maximum.at(feat_max, inv, sel_feat)
+        feat_src = feat_max[keep][keep2]
 
         m = cand_anchor.shape[0]
         new_rows["anchor"].append(cand_anchor)

@@ -220,3 +220,44 @@ def test_chcm_offset_scaling_heads_roundtrip(tmp_path):
     assert np.isfinite(got).all()
     data = cat_codec.hac_codec._gather_sorted_attributes(st, cfg.as_hac())
     assert int(np.asarray(dec_state["valid"]).sum()) == data["anchor_int"].shape[0]
+
+
+def test_exp_neg_q30_accuracy_and_monotone():
+    t = np.linspace(0, 25, 5000)
+    tq = np.round(t * 65536).astype(np.int64)
+    e = arm._exp_neg_q30(tq).astype(np.float64) / 2**30
+    ref = np.exp(-tq.astype(np.float64) / 65536)
+    assert np.max(np.abs(e - ref)) < 1e-6
+    # non-increasing over sorted t (required for valid CDF rows)
+    assert np.all(np.diff(arm._exp_neg_q30(np.sort(tq))) <= 0)
+
+
+def test_fixed_arm_plane_roundtrip_and_packing():
+    """Integer-ARM plane coding must round-trip losslessly, and the packed
+    weights (the form shipped in arm_q.bin) must decode identically to
+    the in-memory quantized weights (VERDICT r2 item 10)."""
+    params = arm.init_arm(jax.random.PRNGKey(2))
+    q = arm.quantize_arm(params)
+    rng = np.random.default_rng(2)
+    latent = np.round(rng.normal(0, 3.0, (31, 17))).astype(np.float32)
+    stream = arm.encode_plane_fixed(q, latent)
+    dec = arm.decode_plane_fixed(q, stream)
+    np.testing.assert_array_equal(dec, latent)
+    q2, used = arm.unpack_arm(arm.pack_arm(q))
+    assert used == len(arm.pack_arm(q))
+    dec2 = arm.decode_plane_fixed(q2, stream)
+    np.testing.assert_array_equal(dec2, latent)
+
+
+def test_fixed_laplace_table_valid_rows():
+    """Rows must be strictly increasing uint16 CDFs ending near 2^16."""
+    rng = np.random.default_rng(3)
+    mu = np.round(rng.normal(0, 2, 64) * 256).astype(np.int64)
+    ls = np.round(rng.uniform(-8, 12, 64) * 256).astype(np.int64)
+    t = arm._laplace_table_fixed(mu, ls, -8, 8)
+    assert t.dtype == np.uint16
+    tu = t.astype(np.int64)
+    tu[:, -1] = np.where(tu[:, -1] == 0, 2**16, tu[:, -1])  # uint16 wrap
+    # strictly increasing rows (the coder's validity requirement; mass may
+    # remain beyond rmax for wide scales, exactly as in the float path)
+    assert np.all(np.diff(tu, axis=1) >= 1)

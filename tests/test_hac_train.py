@@ -149,3 +149,61 @@ def test_eval_render_shapes(setup):
     out = hac_render.render_view(state, SMALL_CFG, cam, rcfg, jnp.zeros(3))
     assert out["render"].shape == (3, H, W)
     assert np.isfinite(np.asarray(out["render"])).all()
+
+
+def test_densify_feat_scatter_max_oracle():
+    """Grown-anchor feat seeding must equal the reference's scatter_max
+    semantics (gaussian_model.py:881-882): element-wise max over every
+    candidate landing in the growth cell, not the first candidate."""
+    cfg = hac.HACConfig(
+        feat_dim=4, n_offsets=2, voxel_size=0.01,
+        update_depth=1, update_init_factor=4, update_hierachy_factor=4,
+        resolutions_3d=(6,), resolutions_2d=(16,),
+        log2_hashmap_size=13, log2_hashmap_size_2d=13,
+    )
+    k = cfg.n_offsets
+    pts = np.zeros((2, 3), np.float32)
+    state = hac.init_state(jax.random.PRNGKey(0), cfg, pts)
+    cap = state["valid"].shape[0]
+
+    a = dict(state["anchors"])
+    feats = np.zeros((cap, 4), np.float32)
+    feats[0] = [1.0, 5.0, 2.0, 0.0]
+    feats[1] = [4.0, 0.0, 3.0, 1.0]
+    a["anchor_feat"] = jnp.asarray(feats)
+    a["scaling"] = jnp.asarray(np.full((cap, 6), np.log(0.04), np.float32))
+    off = np.zeros((cap, k, 3), np.float32)
+    off[0, 0] = [1.0, 0.0, 0.0]   # -> xyz 0.04 -> growth cell (1,0,0)
+    off[1, 0] = [1.05, 0.0, 0.0]  # -> xyz 0.042 -> same cell
+    a["offset"] = jnp.asarray(off)
+    state = dict(state)
+    state["anchors"] = a
+
+    stats = hac_train.zero_stats(cap, k)
+    accum = np.zeros((cap * k, 1), np.float32)
+    denom = np.zeros((cap * k, 1), np.float32)
+    accum[[0 * k, 1 * k]] = 1.0   # offset 0 of both anchors are candidates
+    denom[[0 * k, 1 * k]] = 100.0
+    stats["offset_gradient_accum"] = jnp.asarray(accum)
+    stats["offset_denom"] = jnp.asarray(denom)
+
+    opt = hac_train.OptConfig()
+    optimizer = hac_train.make_optimizer(opt, 1.0)
+    params, _ = hac.split_state(state)
+    opt_state = optimizer.init(params)
+
+    class OnesRng:  # rand_keep = random > 0.5**(i+1) must always pass
+        def random(self, n):
+            return np.ones(n)
+
+    new_state, _, _, info = hac_train.adjust_anchor(
+        state, stats, opt_state, cfg, opt, OnesRng()
+    )
+    assert info["n_added"] == 1 and info["n_pruned"] == 0
+    grown = np.asarray(new_state["anchors"]["anchor"][2])
+    np.testing.assert_allclose(grown, [0.04, 0.0, 0.0], atol=1e-6)
+    # scatter_max: element-wise max of the two contributing anchors' feats
+    np.testing.assert_allclose(
+        np.asarray(new_state["anchors"]["anchor_feat"][2]),
+        [4.0, 5.0, 3.0, 1.0], atol=1e-6,
+    )
