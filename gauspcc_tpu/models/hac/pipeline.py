@@ -268,6 +268,10 @@ def evaluate(state, cfg, cameras, out_dir: str,
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
         "lpips": float(np.mean(lpipss)) if lpipss else None,
+        # "vgg16_pretrained" when a real weights npz is supplied;
+        # "vgg_random_v1" = deterministic surrogate (not paper-comparable)
+        "lpips_variant": getattr(lpips_fn, "variant", None)
+        if lpips_fn is not None else None,
         "fps": fps,
         "per_view": per_view,
     }

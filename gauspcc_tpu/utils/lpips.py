@@ -81,16 +81,35 @@ def make_lpips(weights: dict):
     return lpips
 
 
-def load_default_lpips(path: str | None = None):
-    """Returns a jitted lpips fn, or raises if no weights file exists.
+def load_default_lpips(path: str | None = None,
+                       allow_surrogate: bool = True):
+    """Returns a jitted lpips fn with a `.variant` attribute.
 
     Resolution order: explicit `path` arg, $GAUSPCC_LPIPS_WEIGHTS, then
-    gauspcc_tpu/utils/lpips_vgg.npz."""
+    gauspcc_tpu/utils/lpips_vgg.npz. When no weights file exists and
+    `allow_surrogate`, falls back to the seeded random-feature surrogate
+    (variant "vgg_random_v1"): deterministic across runs/machines, useful
+    as a relative perceptual distance (random conv features are a known
+    perceptual-metric baseline) but NOT calibrated to published LPIPS —
+    consumers must check `.variant` before comparing against papers."""
     if path is None:
         path = os.environ.get("GAUSPCC_LPIPS_WEIGHTS", _DEFAULT_PATH)
-    data = np.load(path)
-    weights = {k: jnp.asarray(data[k]) for k in data.files}
-    return make_lpips(weights)
+    if os.path.exists(path):
+        data = np.load(path)
+        weights = {k: jnp.asarray(data[k]) for k in data.files}
+        variant = "vgg16_pretrained"
+    elif allow_surrogate:
+        weights = {k: jnp.asarray(v) for k, v in random_weights(1234).items()}
+        variant = "vgg_random_v1"
+    else:
+        raise FileNotFoundError(path)
+    jitted = make_lpips(weights)
+
+    def fn(a, b):
+        return jitted(a, b)
+
+    fn.variant = variant  # plain wrapper: jit's C++ callable rejects attrs
+    return fn
 
 
 def random_weights(seed: int = 0) -> dict:
