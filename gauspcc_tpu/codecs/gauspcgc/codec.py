@@ -185,12 +185,18 @@ class _LevelGeometry:
         ):
             self.p_map = parent_map_dev
         else:
-            lo, codes = hostmap.build_map_packed(p_coords, np_, kernel_size,
-                                                 pcap)
-            self.p_map = sparse.WindowMap(put(lo), put(codes))
-        lo, codes = hostmap.build_map_packed(cc, n_child, kernel_size,
-                                             self.ccap)
-        self.c_map = sparse.WindowMap(put(lo), put(codes))
+            self.p_map = self._upload_map(p_coords, np_, kernel_size, pcap, put)
+        self.c_map = self._upload_map(cc, n_child, kernel_size, self.ccap, put)
+
+    @staticmethod
+    def _upload_map(coords, n_valid, kernel_size, cap, put):
+        """Build the packed window map on host and ship lo in u8-delta form
+        (~2x fewer bytes over the tunnel); expand to int32 on device."""
+        lo, codes = hostmap.build_map_packed(coords, n_valid, kernel_size, cap)
+        base, off, exc_pos, exc_val = sparse.pack_lo_np(lo)
+        packed = sparse.PackedLo(put(base), put(off), put(exc_pos),
+                                 put(exc_val))
+        return sparse.WindowMap(sparse.expand_lo(packed, cap), put(codes))
 
 
 def _level_geometries(levels, kernel_size: int):

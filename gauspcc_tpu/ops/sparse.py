@@ -182,6 +182,58 @@ class WindowMap(NamedTuple):
     codes: jax.Array
 
 
+B_LO = 64  # queries per lo base block
+
+
+class PackedLo(NamedTuple):
+    """Upload form of WindowMap.lo: ~1.07 B/entry instead of 4.
+
+    Per (dz, dy) row, lo is non-decreasing along the lex-sorted queries,
+    so each B_LO-run is stored as one absolute int32 base + u8 offsets
+    from it; offsets outside [0, 254] escape to 255 with the absolute
+    value in an exception list. Cuts the host->device map upload (the
+    tunnel-bandwidth wall of codec decode, BASELINE.md) roughly in half
+    combined with the u16 codes.
+    """
+
+    base: jax.Array  # [K2, nb] int32
+    off: jax.Array  # [K2, nb * B_LO] uint8
+    exc_pos: jax.Array  # [E] int32 flat positions (cap-padded with OOB)
+    exc_val: jax.Array  # [E] int32 absolute lo values
+
+
+def pack_lo_np(lo: np.ndarray):
+    """Host side: lo int32 [K2, cap] -> (base, off_u8, exc_pos, exc_val)."""
+    k2, cap = lo.shape
+    nb = (cap + B_LO - 1) // B_LO
+    lp = np.pad(lo, ((0, 0), (0, nb * B_LO - cap)), mode="edge")
+    base = np.ascontiguousarray(lp[:, ::B_LO])
+    off = lp - np.repeat(base, B_LO, axis=1)
+    exc = (off > 254) | (off < 0)
+    exc_pos = np.nonzero(exc.reshape(-1))[0].astype(np.int32)
+    exc_val = lp.reshape(-1)[exc_pos].astype(np.int32)
+    off_u8 = np.where(exc, 255, off).astype(np.uint8)
+    # bucket the exception list so jit traces once per (shape, bucket)
+    ecap = 16
+    while ecap < exc_pos.shape[0]:
+        ecap *= 2
+    oob = np.int32(k2 * nb * B_LO)  # mode="drop" discards the padding
+    exc_pos = np.pad(exc_pos, (0, ecap - exc_pos.shape[0]),
+                     constant_values=oob)
+    exc_val = np.pad(exc_val, (0, ecap - exc_val.shape[0]))
+    return base, off_u8, exc_pos, exc_val
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def expand_lo(packed: PackedLo, cap: int) -> jax.Array:
+    """Device side: reconstruct lo int32 [K2, cap] exactly."""
+    k2, nb = packed.base.shape
+    lo = (jnp.repeat(packed.base, B_LO, axis=1)
+          + packed.off.astype(jnp.int32))
+    lo = lo.reshape(-1).at[packed.exc_pos].set(packed.exc_val, mode="drop")
+    return lo.reshape(k2, nb * B_LO)[:, :cap]
+
+
 def nmap_from_packed(wmap: WindowMap, kernel_size: int) -> NeighborMap:
     """Expand a packed window map to the dense gather table on device.
 

@@ -134,3 +134,19 @@ def test_lex_sort_padding_at_end():
     out = np.asarray(padded[perm])
     np.testing.assert_array_equal(out[:3], [[0, 0, 0], [2, 0, 0], [1, 1, 1]])
     assert not np.asarray(mask[perm])[3:].any()
+
+
+def test_pack_expand_lo_exact():
+    """u8-delta lo packing must reconstruct bit-exactly, including
+    non-monotone / negative garbage beyond the valid prefix."""
+    rng = np.random.default_rng(0)
+    k2, cap = 9, 1000
+    lo = np.sort(rng.integers(0, 5000, (k2, cap)), axis=1).astype(np.int32)
+    lo[:, 700:] = rng.integers(-3, 4, (k2, 300))  # pad garbage
+    lo[2, 100] = 200_000  # big jump -> exception
+    base, off, exc_pos, exc_val = sparse.pack_lo_np(lo)
+    assert off.dtype == np.uint8
+    out = np.asarray(sparse.expand_lo(
+        sparse.PackedLo(jnp.asarray(base), jnp.asarray(off),
+                        jnp.asarray(exc_pos), jnp.asarray(exc_val)), cap))
+    np.testing.assert_array_equal(out, lo)
