@@ -40,6 +40,8 @@ def cmd_compress(args):
     params = _load_params(args.ckpt, cfg)
     os.makedirs(args.output_dir, exist_ok=True)
     rows = []
+    if args.batch > 1:
+        return _compress_batched(args, cfg, params)
     for path in sorted(glob(args.input)):
         xyz = data.quantize_cloud(
             data.read_points(path), args.posQ, args.is_data_pre_quantized
@@ -63,12 +65,57 @@ def cmd_compress(args):
     print(f"mean bpp: {mean_bpp:.4f} over {len(rows)} files -> {csv_path}")
 
 
+def _compress_batched(args, cfg, params):
+    """Batched driver (codec.compress_point_cloud_batch): groups of
+    --batch clouds share one merged pyramid's per-level dispatches."""
+    import time as _time
+
+    paths = sorted(glob(args.input))
+    rows = []
+    t0 = _time.time()
+    total_pts = 0
+    for gi in range(0, len(paths), args.batch):
+        chunk = paths[gi : gi + args.batch]
+        clouds = [
+            data.quantize_cloud(data.read_points(p), args.posQ,
+                                args.is_data_pre_quantized)
+            for p in chunk
+        ]
+        out_path = os.path.join(args.output_dir, f"batch_{gi:04d}.binb")
+        res = codec.compress_point_cloud_batch(
+            clouds, params, out_path, posQ=1.0, config=cfg)
+        total_pts += res["num_points"]
+        rows.append(dict(
+            file=os.path.basename(out_path), bpp=res["bpp"],
+            enc_time=res["enc_time"], bits=res["file_size_bits"],
+            num_points=res["num_points"], num_clouds=res["num_clouds"],
+        ))
+        print(f"{out_path}: {res['num_clouds']} clouds, "
+              f"{res['bpp']:.4f} bpp, {res['enc_time']:.2f}s")
+    wall = _time.time() - t0
+    csv_path = os.path.join(args.output_dir, "compress_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"aggregate: {total_pts / max(wall, 1e-9):.0f} pts/s over "
+          f"{len(paths)} files -> {csv_path}")
+
+
 def cmd_decompress(args):
     cfg = model.NetConfig(args.channels, args.kernel_size)
     params = _load_params(args.ckpt, cfg)
     os.makedirs(args.output_dir, exist_ok=True)
     for path in sorted(glob(args.input)):
         name = os.path.splitext(os.path.basename(path))[0]
+        if path.endswith(".binb"):
+            res = codec.decompress_point_cloud_batch(path, params, config=cfg)
+            for i, pc in enumerate(res["point_clouds"]):
+                out_path = os.path.join(args.output_dir, f"{name}_{i:03d}.ply")
+                data.save_ply_ascii_geo(pc, out_path)
+            print(f"{name}: {res['num_points']} pts in "
+                  f"{len(res['point_clouds'])} clouds, {res['dec_time']:.2f}s")
+            continue
         res = codec.decompress_point_cloud(path, params, config=cfg)
         out_path = os.path.join(args.output_dir, name + ".ply")
         data.save_ply_ascii_geo(res["point_cloud"], out_path)
@@ -146,6 +193,9 @@ def main(argv=None):
     c.add_argument("--ckpt", required=True)
     c.add_argument("--output_dir", required=True)
     c.add_argument("--posQ", type=float, default=1.0)
+    c.add_argument("--batch", type=int, default=1,
+                   help=">1: merge this many clouds per batch bitstream "
+                        "(one set of per-level TPU dispatches per batch)")
     c.set_defaults(fn=cmd_compress)
 
     d = sub.add_parser("decompress")

@@ -215,29 +215,10 @@ def _level_geometries(levels, kernel_size: int):
     return geos
 
 
-def compress_point_cloud(
-    xyz_quantized,
-    params,
-    output_path: str,
-    posQ: float = 1.0,
-    config: net.NetConfig = net.NetConfig(),
-) -> dict:
-    """Compress integer coords [N, 3] to `output_path`.
-
-    Returns {bpp, enc_time, file_size_bits, num_points, output_path},
-    the same result surface as the reference API (pcc_utils.py:205-217).
-    """
-    xyz = np.asarray(xyz_quantized)
-    if posQ != 1.0:
-        xyz = np.round(xyz / posQ)
-    xyz = xyz.astype(np.int64)
-    n_points = xyz.shape[0]
-
-    t0 = time.time()
-    shift = xyz.min(axis=0)
-    xyz0 = np.unique(xyz - shift, axis=0).astype(np.int32)
-
-    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+def _encode_levels(levels, params, config: net.NetConfig):
+    """Run the per-level stage programs over a built pyramid; returns the
+    packed per-level byte streams (the shared core of the single-cloud and
+    batched drivers)."""
     geos = _level_geometries(levels, config.kernel_size)
 
     # enqueue ALL levels without blocking (teacher-forced: nothing
@@ -268,10 +249,36 @@ def compress_point_cloud(
             carry = _rans_encode_stage(carry, table, s_gt[stage], n_valid)
         pending.append(_rans_flush(carry))
 
-    streams = [
+    return [
         rans.pack_stream(np.asarray(words), np.asarray(n_words))
         for words, n_words in pending
     ]
+
+
+def compress_point_cloud(
+    xyz_quantized,
+    params,
+    output_path: str,
+    posQ: float = 1.0,
+    config: net.NetConfig = net.NetConfig(),
+) -> dict:
+    """Compress integer coords [N, 3] to `output_path`.
+
+    Returns {bpp, enc_time, file_size_bits, num_points, output_path},
+    the same result surface as the reference API (pcc_utils.py:205-217).
+    """
+    xyz = np.asarray(xyz_quantized)
+    if posQ != 1.0:
+        xyz = np.round(xyz / posQ)
+    xyz = xyz.astype(np.int64)
+    n_points = xyz.shape[0]
+
+    t0 = time.time()
+    shift = xyz.min(axis=0)
+    xyz0 = np.unique(xyz - shift, axis=0).astype(np.int32)
+
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+    streams = _encode_levels(levels, params, config)
 
     base_coords, base_occ = levels[0]
     payload = bitstream.pack_byte_streams(streams)
@@ -318,6 +325,17 @@ def decompress_point_cloud(
         payload = f.read()
 
     t0 = time.time()
+    cc, n_final = _decode_levels(base_coords, base_occ, payload, params, config)
+    pts = cc.astype(np.int64) + shift
+    pts = pts.astype(np.float32) * posQ
+    dec_time = time.time() - t0
+
+    return {"dec_time": dec_time, "num_points": n_final, "point_cloud": pts}
+
+
+def _decode_levels(base_coords, base_occ, payload: bytes, params,
+                   config: net.NetConfig):
+    """Decode the framed per-level streams; returns (int32 coords, n)."""
     streams = bitstream.unpack_byte_streams(payload)
     n_levels = len(streams)
 
@@ -360,8 +378,122 @@ def decompress_point_cloud(
     n_final = int(np.unpackbits(p_occ.astype(np.uint8)[:, None], axis=1).sum())
     cc, _, _, _ = hostmap.expand_children(
         p_coords, p_occ.astype(np.uint8), n_final)
-    pts = cc.astype(np.int64) + shift
-    pts = pts.astype(np.float32) * posQ
-    dec_time = time.time() - t0
+    return cc[:n_final], n_final
 
-    return {"dec_time": dec_time, "num_points": n_final, "point_cloud": pts}
+
+# ---------------------------------------------------------------------------
+# Batched multi-cloud driver
+# ---------------------------------------------------------------------------
+#
+# The reference amortizes model setup over the GausPcc-1K testset with a
+# host file loop (compress_ue_4stage_conv.py:249-267) — each cloud still
+# pays its own GPU dispatches. The TPU-first form merges M clouds into
+# ONE pyramid: cloud i is translated by i * 2^L along z (L = the dyadic
+# extent of the largest cloud), so clouds occupy disjoint dyadic blocks
+# at every level, neighbor windows never cross clouds (submanifold convs
+# see an empty boundary, exactly as at a cloud edge), and one set of
+# per-level programs codes everything with 8x larger batches.
+
+BATCH_MAGIC = 0x47504342  # 'GPCB'
+
+
+def _merge_clouds(clouds, posQ: float):
+    shifted, shifts, counts = [], [], []
+    for xyz in clouds:
+        xyz = np.asarray(xyz)
+        if posQ != 1.0:
+            xyz = np.round(xyz / posQ)
+        xyz = xyz.astype(np.int64)
+        s = xyz.min(axis=0)
+        shifts.append(s)
+        uniq = np.unique(xyz - s, axis=0)
+        counts.append(uniq.shape[0])  # decoded (lossless) = unique voxels
+        shifted.append(uniq)
+    span = max(int(c.max()) + 1 for c in shifted)
+    lbits = max(1, int(np.ceil(np.log2(span))))
+    assert (len(clouds) << lbits) < 2**31, "batch exceeds int32 z range"
+    merged = np.concatenate([
+        c + np.array([0, 0, i << lbits], np.int64)
+        for i, c in enumerate(shifted)
+    ]).astype(np.int32)
+    return merged, np.stack(shifts), np.asarray(counts, np.int64), lbits
+
+
+def compress_point_cloud_batch(
+    clouds,
+    params,
+    output_path: str,
+    posQ: float = 1.0,
+    config: net.NetConfig = net.NetConfig(),
+) -> dict:
+    """Compress M quantized clouds into one batch bitstream.
+
+    Returns aggregate {bpp, enc_time, file_size_bits, num_points,
+    num_clouds, output_path}; decode with decompress_point_cloud_batch."""
+    t0 = time.time()
+    merged, shifts, counts, lbits = _merge_clouds(clouds, posQ)
+    levels = sparse.build_occupancy_pyramid(merged, min_points=MIN_BASE_POINTS)
+    streams = _encode_levels(levels, params, config)
+
+    base_coords, base_occ = levels[0]
+    payload = bitstream.pack_byte_streams(streams)
+    m = len(clouds)
+    with open(output_path, "wb") as f:
+        f.write(np.uint32(BATCH_MAGIC).tobytes())
+        f.write(np.uint8(VERSION).tobytes())
+        f.write(np.float16(posQ).tobytes())
+        f.write(np.int32([m, lbits]).tobytes())
+        f.write(shifts.astype(np.int32).tobytes())
+        f.write(counts.astype(np.int64).tobytes())
+        f.write(np.int32(base_coords.shape[0]).tobytes())
+        f.write(base_coords.astype(np.int32).tobytes())
+        f.write(base_occ.astype(np.uint8).tobytes())
+        f.write(payload)
+    enc_time = time.time() - t0
+
+    n_points = int(counts.sum())
+    fsb = bitstream.file_size_bits(output_path)
+    return {
+        "bpp": fsb / n_points,
+        "enc_time": enc_time,
+        "file_size_bits": fsb,
+        "num_points": n_points,
+        "num_clouds": m,
+        "output_path": output_path,
+    }
+
+
+def decompress_point_cloud_batch(
+    bin_file_path: str,
+    params,
+    config: net.NetConfig = net.NetConfig(),
+) -> dict:
+    """Decode a batch bitstream -> {dec_time, point_clouds: list of
+    float32 [Ni, 3], num_points}."""
+    with open(bin_file_path, "rb") as f:
+        magic = np.frombuffer(f.read(4), np.uint32)[0]
+        assert magic == BATCH_MAGIC, "not a GPCB batch bitstream"
+        _version = np.frombuffer(f.read(1), np.uint8)[0]
+        posQ = float(np.frombuffer(f.read(2), np.float16)[0])
+        m, lbits = (int(v) for v in np.frombuffer(f.read(8), np.int32))
+        shifts = np.frombuffer(f.read(12 * m), np.int32).reshape(m, 3)
+        counts = np.frombuffer(f.read(8 * m), np.int64)
+        base_len = int(np.frombuffer(f.read(4), np.int32)[0])
+        base_coords = np.frombuffer(f.read(base_len * 12), np.int32).reshape(-1, 3)
+        base_occ = np.frombuffer(f.read(base_len), np.uint8)
+        payload = f.read()
+
+    t0 = time.time()
+    cc, n_final = _decode_levels(base_coords, base_occ, payload, params, config)
+    cloud_id = cc[:, 2] >> lbits
+    local = cc.astype(np.int64)
+    local[:, 2] -= (cloud_id.astype(np.int64) << lbits)
+    clouds = []
+    for i in range(m):
+        sel = local[cloud_id == i] + shifts[i].astype(np.int64)
+        assert sel.shape[0] == counts[i], (
+            f"cloud {i}: {sel.shape[0]} vs {counts[i]} points")
+        clouds.append(sel.astype(np.float32) * posQ)
+    dec_time = time.time() - t0
+    return {"dec_time": dec_time, "num_points": n_final,
+            "point_clouds": clouds}
