@@ -369,3 +369,212 @@ int64_t ac_dec_next(AcDecState* st, const uint16_t* cdf, int32_t lp,
 void ac_dec_free(AcDecState* st) { delete st; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Model-based coding: Gaussian-mixture CDFs evaluated on the fly.
+//
+// The table path above ships [N, Lp] uint16 rows from the device; at scene
+// scale an outlier-widened residual range makes that table the dominant
+// device->host transfer (tens of MB per 3000-anchor batch over a tunneled
+// link). Here the host receives only the residual-space model — mu, sigma,
+// weight per mixture component (12*K bytes/symbol) — and evaluates the
+// same normalized-CDF convention per symbol: ~2K erfc per encoded symbol,
+// ~K*log2(Lp) per decoded one. Matches the reference's probability model
+// (encodings_cuda.py encoder_gaussian / encoder_gaussian_mixed +
+// arithmetic_kernel.cu calculate_cdf_kernel's erfc), with the CDF math in
+// one double-precision implementation shared by encode and decode.
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+
+namespace {
+
+struct GaussRows {
+  const float* mu;     // [N*K] residual-space means
+  const float* sigma;  // [N*K] residual-space scales
+  const float* w;      // [N*K] mixture weights (need not be normalized)
+  int K;
+  int Lp;      // columns incl. the +1 boundary (rmax - rmin + 2)
+  int rmin;
+
+  // raw mixture CDF at symbol boundary t - 0.5 (t in [0, Lp-1])
+  inline double raw(int64_t i, int t) const {
+    const double xb = rmin + t - 0.5;
+    double acc = 0.0, wsum = 0.0;
+    for (int k = 0; k < K; ++k) {
+      const double m = mu[i * K + k];
+      const double s = std::max(static_cast<double>(sigma[i * K + k]), 1e-9);
+      const double ww = std::max(static_cast<double>(w[i * K + k]), 0.0);
+      acc += ww * 0.5 * std::erfc(-(xb - m) / (s * 1.4142135623730951));
+      wsum += ww;
+    }
+    return acc / std::max(wsum, 1e-30);
+  }
+
+  // normalized uint16 CDF value (same convention as the table path:
+  // round(c01 * (2^16 - (Lp-1))) + t; top of range implicit at 2^16)
+  inline uint64_t u16(int64_t i, int t, double f0, double inv_norm) const {
+    double c01 = (raw(i, t) - f0) * inv_norm;
+    c01 = c01 < 0.0 ? 0.0 : (c01 > 1.0 ? 1.0 : c01);
+    const double new_max = static_cast<double>(kCdfTop) - (Lp - 1);
+    return static_cast<uint64_t>(std::llround(c01 * new_max)) +
+           static_cast<uint64_t>(t);
+  }
+
+  inline void norm_consts(int64_t i, double& f0, double& inv_norm) const {
+    f0 = raw(i, 0);
+    const double fl = raw(i, Lp - 1);
+    inv_norm = 1.0 / std::max(fl - f0, 1e-12);
+  }
+};
+
+int64_t encode_chunk_gauss(const GaussRows& g, const int16_t* sym,
+                           int64_t begin, int64_t end, uint8_t* out) {
+  const int max_symbol = g.Lp - 2;
+  BitWriter wtr{out};
+  uint32_t low = 0;
+  uint32_t high = 0xFFFFFFFFu;
+  uint64_t pending = 0;
+
+  for (int64_t i = begin; i < end; ++i) {
+    const int s = sym[i];
+    double f0, inv_norm;
+    g.norm_consts(i, f0, inv_norm);
+    const uint64_t span = static_cast<uint64_t>(high) - low + 1;
+    const uint64_t c_low = g.u16(i, s, f0, inv_norm);
+    const uint64_t c_high =
+        (s == max_symbol) ? kCdfTop : g.u16(i, s + 1, f0, inv_norm);
+
+    high = static_cast<uint32_t>((low - 1) + ((span * c_high) >> kPrecision));
+    low = static_cast<uint32_t>(low + ((span * c_low) >> kPrecision));
+
+    while (true) {
+      if (high < 0x80000000u) {
+        wtr.append_with_pending(0, pending);
+        low <<= 1;
+        high = (high << 1) | 1u;
+      } else if (low >= 0x80000000u) {
+        wtr.append_with_pending(1, pending);
+        low <<= 1;
+        high = (high << 1) | 1u;
+      } else if (low >= 0x40000000u && high < 0xC0000000u) {
+        ++pending;
+        low = (low << 1) & 0x7FFFFFFFu;
+        high = (high << 1) | 0x80000001u;
+      } else {
+        break;
+      }
+    }
+  }
+
+  ++pending;
+  if (low < 0x40000000u) {
+    wtr.append_with_pending(0, pending);
+  } else {
+    wtr.append_with_pending(1, pending);
+  }
+  wtr.flush();
+  return wtr.len;
+}
+
+void decode_chunk_gauss(const GaussRows& g, const uint8_t* in, int64_t in_len,
+                        int64_t begin, int64_t end, int16_t* out_sym) {
+  const int max_symbol = g.Lp - 2;
+  BitReader r{in, in_len};
+  uint32_t low = 0;
+  uint32_t high = 0xFFFFFFFFu;
+  uint32_t value = 0;
+  r.initialize(value);
+
+  for (int64_t i = begin; i < end; ++i) {
+    double f0, inv_norm;
+    g.norm_consts(i, f0, inv_norm);
+    const uint64_t span = static_cast<uint64_t>(high) - low + 1;
+    const uint16_t target = static_cast<uint16_t>(
+        ((static_cast<uint64_t>(value) - low + 1) * kCdfTop - 1) / span);
+
+    int left = 0;
+    int right = max_symbol + 1;
+    while (left + 1 < right) {
+      const int m = (left + right) / 2;
+      const uint64_t v = g.u16(i, m, f0, inv_norm);
+      if (v < target) {
+        left = m;
+      } else if (v > target) {
+        right = m;
+      } else {
+        left = m;
+        break;
+      }
+    }
+    const int s = left;
+    out_sym[i] = static_cast<int16_t>(s);
+
+    const uint64_t c_low = g.u16(i, s, f0, inv_norm);
+    const uint64_t c_high =
+        (s == max_symbol) ? kCdfTop : g.u16(i, s + 1, f0, inv_norm);
+    high = static_cast<uint32_t>((low - 1) + ((span * c_high) >> kPrecision));
+    low = static_cast<uint32_t>(low + ((span * c_low) >> kPrecision));
+
+    while (true) {
+      if (low >= 0x80000000u || high < 0x80000000u) {
+        low <<= 1;
+        high = (high << 1) | 1u;
+        r.get(value);
+      } else if (low >= 0x40000000u && high < 0xC0000000u) {
+        low = (low << 1) & 0x7FFFFFFFu;
+        high = (high << 1) | 0x80000001u;
+        value -= 0x40000000u;
+        r.get(value);
+      } else {
+        break;
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t ac_encode_gauss(const float* mu, const float* sigma, const float* w,
+                        int32_t K, int64_t N, int32_t rmin, int32_t Lp,
+                        const int16_t* sym, int64_t chunk_size,
+                        int32_t n_threads, uint8_t* out, int64_t* chunk_lens) {
+  if (N < 0 || Lp < 2 || chunk_size <= 0 || K < 1) return -1;
+  if (N == 0) return 0;
+  const GaussRows g{mu, sigma, w, K, Lp, rmin};
+  const int64_t n_chunks = (N + chunk_size - 1) / chunk_size;
+  const int64_t stride = ac_max_chunk_bytes(chunk_size);
+  parallel_for_chunks(n_chunks, n_threads, [&](int64_t c) {
+    const int64_t begin = c * chunk_size;
+    const int64_t end = std::min<int64_t>(begin + chunk_size, N);
+    chunk_lens[c] = encode_chunk_gauss(g, sym, begin, end, out + c * stride);
+  });
+  int64_t total = 0;
+  for (int64_t c = 0; c < n_chunks; ++c) total += chunk_lens[c];
+  return total;
+}
+
+int32_t ac_decode_gauss(const float* mu, const float* sigma, const float* w,
+                        int32_t K, int64_t N, int32_t rmin, int32_t Lp,
+                        const uint8_t* in, const int64_t* chunk_lens,
+                        int64_t chunk_size, int32_t n_threads,
+                        int16_t* out_sym) {
+  if (N < 0 || Lp < 2 || chunk_size <= 0 || K < 1) return -1;
+  if (N == 0) return 0;
+  const GaussRows g{mu, sigma, w, K, Lp, rmin};
+  const int64_t n_chunks = (N + chunk_size - 1) / chunk_size;
+  std::vector<int64_t> offsets(n_chunks + 1, 0);
+  for (int64_t c = 0; c < n_chunks; ++c) {
+    offsets[c + 1] = offsets[c] + chunk_lens[c];
+  }
+  parallel_for_chunks(n_chunks, n_threads, [&](int64_t c) {
+    const int64_t begin = c * chunk_size;
+    const int64_t end = std::min<int64_t>(begin + chunk_size, N);
+    decode_chunk_gauss(g, in + offsets[c], chunk_lens[c], begin, end, out_sym);
+  });
+  return 0;
+}
+
+}  // extern "C"

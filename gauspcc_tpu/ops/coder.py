@@ -80,6 +80,21 @@ def _load():
         ]
         lib.ac_dec_free.restype = None
         lib.ac_dec_free.argtypes = [ctypes.c_void_p]
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.ac_encode_gauss.restype = ctypes.c_int64
+        lib.ac_encode_gauss.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.ac_decode_gauss.restype = ctypes.c_int32
+        lib.ac_decode_gauss.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int32, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int16),
+        ]
         _lib = lib
         return lib
 
@@ -184,6 +199,89 @@ def encode_int16_cdf(
         s = c * stride
         parts.append(out[s : s + chunk_lens[c]].tobytes())
     return b"".join(parts)
+
+
+def _as_mix(mu, sigma, w, n: int):
+    """[N] or [N, K] model arrays -> contiguous f32 [N*K] + K."""
+    mu = np.ascontiguousarray(mu, dtype=np.float32).reshape(n, -1)
+    k = mu.shape[1]
+    sigma = np.ascontiguousarray(sigma, dtype=np.float32).reshape(n, k)
+    if w is None:
+        w = np.ones((n, k), np.float32)
+    w = np.ascontiguousarray(w, dtype=np.float32).reshape(n, k)
+    return mu, sigma, w, k
+
+
+def encode_gauss(mu, sigma, symbols, rmin: int, rmax: int, w=None,
+                 chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
+    """Encode residual symbols under per-element Gaussian(-mixture) models
+    evaluated inside the coder (native ac_encode_gauss): mu/sigma are in
+    residual units, symbols[i] = residual - rmin in [0, rmax - rmin].
+    Same stream framing as encode_int16_cdf."""
+    lib = _load()
+    symbols = np.ascontiguousarray(symbols, dtype=np.int16)
+    n = symbols.shape[0]
+    if n == 0:
+        return np.uint32(0).tobytes()
+    mu, sigma, w, k = _as_mix(mu, sigma, w, n)
+    lp = rmax - rmin + 2
+    n_chunks = (n + chunk_size - 1) // chunk_size
+    stride = lib.ac_max_chunk_bytes(chunk_size)
+    out = np.empty(n_chunks * stride, dtype=np.uint8)
+    chunk_lens = np.zeros(n_chunks, dtype=np.int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    total = lib.ac_encode_gauss(
+        mu.ctypes.data_as(f32p), sigma.ctypes.data_as(f32p),
+        w.ctypes.data_as(f32p), k, n, rmin, lp,
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        chunk_size, _n_threads(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        chunk_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if total < 0:
+        raise ValueError("ac_encode_gauss failed (bad arguments)")
+    parts = [np.uint32(n_chunks).tobytes(),
+             chunk_lens.astype(np.uint32).tobytes()]
+    for c in range(n_chunks):
+        s = c * stride
+        parts.append(out[s : s + chunk_lens[c]].tobytes())
+    return b"".join(parts)
+
+
+def decode_gauss(mu, sigma, stream: bytes, rmin: int, rmax: int, w=None,
+                 chunk_size: int = DEFAULT_CHUNK_SIZE) -> np.ndarray:
+    """Inverse of :func:`encode_gauss`; returns int16 symbols [N]."""
+    lib = _load()
+    mu_arr = np.asarray(mu)
+    n = mu_arr.reshape(mu_arr.shape[0], -1).shape[0] if mu_arr.ndim > 1 \
+        else mu_arr.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int16)
+    mu, sigma, w, k = _as_mix(mu, sigma, w, n)
+    lp = rmax - rmin + 2
+    n_chunks = (n + chunk_size - 1) // chunk_size
+    n_chunks_stored = int(np.frombuffer(stream[:4], dtype=np.uint32)[0])
+    if n_chunks_stored != n_chunks:
+        raise ValueError(
+            f"stream has {n_chunks_stored} chunks but N={n} implies {n_chunks}")
+    chunk_lens = np.frombuffer(
+        stream[4 : 4 + 4 * n_chunks], dtype=np.uint32
+    ).astype(np.int64)
+    payload = np.ascontiguousarray(
+        np.frombuffer(stream[4 + 4 * n_chunks :], dtype=np.uint8))
+    out_sym = np.empty(n, dtype=np.int16)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.ac_decode_gauss(
+        mu.ctypes.data_as(f32p), sigma.ctypes.data_as(f32p),
+        w.ctypes.data_as(f32p), k, n, rmin, lp,
+        payload.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        chunk_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        chunk_size, _n_threads(),
+        out_sym.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        raise ValueError("ac_decode_gauss failed (bad arguments)")
+    return out_sym
 
 
 def decode_int16_cdf(

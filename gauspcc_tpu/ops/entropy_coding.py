@@ -28,19 +28,31 @@ def _to_np(x) -> np.ndarray:
 
 
 @jax.jit
-def _gaussian_residuals(x, mean, q):
-    return (jnp.round(x / q) - jnp.round(mean / q)).astype(jnp.int32)
+def _residual_model(x, mean, scale, q):
+    """Residual symbols + residual-space (mu, sigma) for the native coder."""
+    center = jnp.round(mean / q)
+    res = (jnp.round(x / q) - center).astype(jnp.int32)
+    return res, (mean / q - center).astype(jnp.float32), \
+        (scale / q).astype(jnp.float32)
+
+
+@jax.jit
+def _residual_model_dec(mean, scale, q):
+    center = jnp.round(mean / q)
+    return center, (mean / q - center).astype(jnp.float32), \
+        (scale / q).astype(jnp.float32)
 
 
 def encode_gaussian(x, mean, scale, q, file_name: str) -> int:
     """Arithmetic-encode x (flat [N]) under per-element Gaussian models.
 
     Functional parity with encoder_gaussian (encodings_cuda.py:340-376),
-    but symbols are mean-centered residuals r = round(x/q) - round(mean/q)
-    (a rate-identical reindexing), so the per-row CDF table covers only the
-    residual spread — typically 10-100x fewer columns than the reference's
-    global [min, max] layout. Header stores f32 rmin/rmax.
-    Returns the bit length written.
+    with symbols as mean-centered residuals r = round(x/q) - round(mean/q)
+    (a rate-identical reindexing). Probabilities are evaluated INSIDE the
+    native coder from the residual-space (mu, sigma) — 12 bytes/symbol off
+    the device instead of an [N, Lp] uint16 table, which at scene scale
+    (outlier-widened Lp) was the dominant device->host transfer.
+    Header stores f32 rmin/rmax. Returns the bit length written.
     """
     x = jnp.asarray(x).reshape(-1)
     mean = jnp.asarray(mean).reshape(-1)
@@ -49,16 +61,16 @@ def encode_gaussian(x, mean, scale, q, file_name: str) -> int:
         q = jnp.full_like(mean, q)
     q = q.reshape(-1)
 
-    res_np = _to_np(_gaussian_residuals(x, mean, q))
-    if res_np.size == 0:
+    res, mu_res, sig_res = (
+        _to_np(v) for v in _residual_model(x, mean, scale, q))
+    if res.size == 0:
         payload = np.uint32(0).tobytes()
         rmin = rmax = 0.0
     else:
-        rmin = int(res_np.min())
-        rmax = int(res_np.max())
-        table = cdf_lib.gaussian_cdf_table_residual(mean, scale, q, rmin, rmax)
-        sym_idx = (res_np - rmin).astype(np.int16)
-        payload = coder.encode_int16_cdf(_to_np(table), sym_idx)
+        rmin = int(res.min())
+        rmax = int(res.max())
+        payload = coder.encode_gauss(
+            mu_res, sig_res, (res - rmin).astype(np.int16), rmin, rmax)
 
     with open(file_name, "wb") as f:
         f.write(np.float32(rmin).tobytes())
@@ -83,9 +95,10 @@ def decode_gaussian(mean, scale, q, file_name: str) -> jax.Array:
     n = int(mean.shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.float32)
-    table = cdf_lib.gaussian_cdf_table_residual(mean, scale, q, rmin, rmax)
-    sym = coder.decode_int16_cdf(_to_np(table), payload)
-    return (jnp.asarray(sym.astype(np.float32)) + rmin + jnp.round(mean / q)) * q
+    center, mu_res, sig_res = _residual_model_dec(mean, scale, q)
+    sym = coder.decode_gauss(_to_np(mu_res), _to_np(sig_res), payload,
+                             rmin, rmax)
+    return (jnp.asarray(sym.astype(np.float32)) + rmin + center) * q
 
 
 def encode_gaussian_mixed(x, means, scales, probs, q, file_name: str) -> int:
@@ -107,16 +120,26 @@ def encode_gaussian_mixed(x, means, scales, probs, q, file_name: str) -> int:
     else:
         rmin = int(res_np.min())
         rmax = int(res_np.max())
-        table = cdf_lib.gaussian_mixture_cdf_table_residual(
-            means, scales, probs, q, rmin, rmax
-        )
-        payload = coder.encode_int16_cdf(_to_np(table), (res_np - rmin).astype(np.int16))
+        mu, sig, w = _mixture_residual_model(means, scales, probs, q, center)
+        payload = coder.encode_gauss(
+            _to_np(mu), _to_np(sig), (res_np - rmin).astype(np.int16),
+            rmin, rmax, w=_to_np(w))
 
     with open(file_name, "wb") as f:
         f.write(np.float32(rmin).tobytes())
         f.write(np.float32(rmax).tobytes())
         f.write(payload)
     return (len(payload) + 8) * 8
+
+
+@jax.jit
+def _mixture_residual_model(means, scales, probs, q, center):
+    """Stack mixture components into residual-space [N, K] model arrays."""
+    mu = jnp.stack([m / q - center for m in means], axis=-1)
+    sig = jnp.stack([s / q for s in scales], axis=-1)
+    w = jnp.stack(probs, axis=-1)
+    return mu.astype(jnp.float32), sig.astype(jnp.float32), \
+        w.astype(jnp.float32)
 
 
 def decode_gaussian_mixed(means, scales, probs, q, file_name: str) -> jax.Array:
@@ -134,9 +157,10 @@ def decode_gaussian_mixed(means, scales, probs, q, file_name: str) -> jax.Array:
     n = int(means[0].shape[0])
     if n == 0:
         return jnp.zeros((0,), jnp.float32)
-    table = cdf_lib.gaussian_mixture_cdf_table_residual(means, scales, probs, q, rmin, rmax)
-    sym = coder.decode_int16_cdf(_to_np(table), payload)
     center = cdf_lib.mixture_center(means, probs, q)
+    mu, sig, w = _mixture_residual_model(means, scales, probs, q, center)
+    sym = coder.decode_gauss(_to_np(mu), _to_np(sig), payload, rmin, rmax,
+                             w=_to_np(w))
     return (jnp.asarray(sym.astype(np.float32)) + rmin + center) * q
 
 

@@ -341,6 +341,44 @@ def rasterize(
     return img.transpose(2, 0, 1), proj.radius
 
 
+def tile_saturation(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    viewmatrix: jax.Array,
+    cfg: RasterConfig,
+    valid: jax.Array | None = None,
+) -> dict:
+    """Bounded-work cap diagnostics for one view.
+
+    Returns per-tile pair counts plus the fraction of tiles whose list
+    exceeds K (those drop far Gaussians) and the fraction of Gaussians
+    whose tile footprint exceeds D (those drop far tiles). Drives eval-K
+    auto-selection (the reference rasterizer is unbounded,
+    HAC/gaussian_renderer/__init__.py:217-225)."""
+    proj = project(means3d, scales, rotations, viewmatrix, cfg, valid)
+    tile_start, _, _ = _build_tile_lists(proj, cfg)
+    counts = tile_start[1:] - tile_start[:-1]  # [n_tiles]
+    r = proj.radius.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - r) / TILE), 0, cfg.tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + r) / TILE), 0, cfg.tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - r) / TILE), 0, cfg.tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + r) / TILE), 0, cfg.tiles_y - 1)
+    footprint = (x1 - x0 + 1) * (y1 - y0 + 1)
+    alive = proj.radius > 0
+    n_alive = jnp.maximum(jnp.sum(alive), 1)
+    occupied = jnp.maximum(jnp.sum(counts > 0), 1)
+    return {
+        "tile_counts": counts,
+        "frac_tiles_over_k": jnp.sum(
+            counts > cfg.max_gaussians_per_tile) / occupied,
+        "frac_gauss_over_d": jnp.sum(
+            alive & (footprint > cfg.max_tiles_per_gaussian)) / n_alive,
+        "max_tile_count": jnp.max(counts),
+        "n_alive": jnp.sum(alive),
+    }
+
+
 def visible_filter(
     means3d: jax.Array,
     scales: jax.Array,

@@ -166,3 +166,57 @@ def test_incremental_decoder_matches_batch():
         pos += step
     dec.close()
     np.testing.assert_array_equal(np.concatenate(outs), sym)
+
+
+def test_gauss_model_coder_roundtrip_and_rate():
+    """Native model-based coder (CDF evaluated in C++ from mu/sigma) must
+    round-trip exactly and match the table path's rate within a few %."""
+    from gauspcc_tpu.ops import coder as coder_lib
+
+    rng = np.random.default_rng(0)
+    n = 20_000
+    mu = rng.normal(0, 0.3, n).astype(np.float32)
+    sig = rng.uniform(0.5, 4.0, n).astype(np.float32)
+    res = np.round(rng.normal(0, 1, n) * sig + mu).astype(np.int32)
+    rmin, rmax = int(res.min()), int(res.max())
+    syms = (res - rmin).astype(np.int16)
+    stream = coder_lib.encode_gauss(mu, sig, syms, rmin, rmax)
+    out = coder_lib.decode_gauss(mu, sig, stream, rmin, rmax)
+    np.testing.assert_array_equal(out, syms)
+    # entropy sanity: ~log2(sig)+2 bits/sym expected; assert no blow-up
+    bits = len(stream) * 8
+    assert bits < n * 6.0
+
+
+def test_gauss_mixture_coder_roundtrip():
+    from gauspcc_tpu.ops import coder as coder_lib
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    mu = rng.normal(0, 2.0, (n, 2)).astype(np.float32)
+    sig = rng.uniform(0.5, 3.0, (n, 2)).astype(np.float32)
+    w = rng.dirichlet([1, 1], n).astype(np.float32)
+    res = np.round(rng.normal(0, 2.5, n)).astype(np.int32)
+    rmin, rmax = int(res.min()), int(res.max())
+    syms = (res - rmin).astype(np.int16)
+    stream = coder_lib.encode_gauss(mu, sig, syms, rmin, rmax, w=w)
+    out = coder_lib.decode_gauss(mu, sig, stream, rmin, rmax, w=w)
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_gauss_coder_outlier_range():
+    """A single huge-residual outlier must not break coding (this is the
+    scenario that made the table path transfer tens of MB)."""
+    from gauspcc_tpu.ops import coder as coder_lib
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    mu = np.zeros(n, np.float32)
+    sig = np.full(n, 1.0, np.float32)
+    res = np.round(rng.normal(0, 1, n)).astype(np.int32)
+    res[1234] = 5000  # outlier widens the symbol range to ~5000 columns
+    rmin, rmax = int(res.min()), int(res.max())
+    syms = (res - rmin).astype(np.int16)
+    stream = coder_lib.encode_gauss(mu, sig, syms, rmin, rmax)
+    out = coder_lib.decode_gauss(mu, sig, stream, rmin, rmax)
+    np.testing.assert_array_equal(out, syms)
