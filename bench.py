@@ -85,7 +85,74 @@ def bench_codec(extra: dict) -> float:
     extra["codec_enc_points_per_sec"] = round(n / min(enc_times), 1)
     extra["codec_dec_points_per_sec"] = round(n / min(dec_times), 1)
     extra["codec_bpp"] = round(bpp, 4)
+    if os.environ.get("GAUSPCC_BENCH_FAST") != "1":
+        try:
+            bench_codec_profile(extra, params, cfg, tmp)
+        except Exception as e:
+            extra["profile_error"] = repr(e)[:200]
+        try:
+            bench_codec_batch(extra, params, cfg)
+        except Exception as e:
+            extra["batch_error"] = repr(e)[:200]
     return n / (min(enc_times) + min(dec_times))
+
+
+def bench_codec_profile(extra: dict, params, cfg, tmp: str) -> None:
+    """Decode-path serial-latency breakdown per level (VERDICT r2 item 4):
+    host geometry build, map/word upload (with byte counts), device
+    compute, occupancy download. Profiling inserts barriers, so this runs
+    separately from the throughput loop."""
+    from gauspcc_tpu.codecs.gauspcgc import codec
+
+    prof: list = []
+    codec.decompress_point_cloud(tmp, params, config=cfg, profile=prof)
+    tot = {k: round(sum(p.get(k, 0.0) for p in prof) * 1e3, 1)
+           for k in ("host_s", "upload_s", "device_s", "download_s")}
+    extra["dec_profile_ms"] = {k.replace("_s", ""): v for k, v in tot.items()}
+    extra["dec_upload_mb"] = round(
+        sum(p.get("upload_bytes", 0) for p in prof) / 1e6, 2)
+    extra["dec_profile_levels"] = [
+        {"n": p["n_child"],
+         "host": round(p.get("host_s", 0.0) * 1e3, 1),
+         "up": round(p.get("upload_s", 0.0) * 1e3, 1),
+         "dev": round(p.get("device_s", 0.0) * 1e3, 1),
+         "down": round(p.get("download_s", 0.0) * 1e3, 1)}
+        for p in prof[-3:]  # finest levels dominate; keep the line short
+    ]
+
+
+def bench_codec_batch(extra: dict, params, cfg) -> None:
+    """Batched multi-cloud driver vs sequential at M=8 (VERDICT r2 item 5).
+    Aggregate enc+dec points/s both ways."""
+    from gauspcc_tpu.codecs.gauspcgc import codec
+
+    rng = np.random.default_rng(5)
+    clouds = []
+    for i in range(8):
+        centers = rng.integers(0, 2500, size=(60, 3))
+        pts = centers[rng.integers(0, len(centers), 40_000)] + rng.normal(
+            0, 18, (40_000, 3))
+        clouds.append(np.unique(np.round(pts), axis=0).astype(np.int64))
+    n_total = sum(c.shape[0] for c in clouds)
+
+    bpath = "/tmp/gauspcc_bench_batch.binb"
+    codec.compress_point_cloud_batch(clouds, params, bpath, config=cfg)
+    codec.decompress_point_cloud_batch(bpath, params, config=cfg)  # warm
+    t0 = time.time()
+    codec.compress_point_cloud_batch(clouds, params, bpath, config=cfg)
+    dec = codec.decompress_point_cloud_batch(bpath, params, config=cfg)
+    batch_pps = n_total / (time.time() - t0)
+    assert dec["num_points"] == n_total
+
+    t0 = time.time()
+    for i, c in enumerate(clouds):
+        p = f"/tmp/gauspcc_bench_seq_{i}.bin"
+        codec.compress_point_cloud(c, params, p, config=cfg)
+        codec.decompress_point_cloud(p, params, config=cfg)
+    seq_pps = n_total / (time.time() - t0)
+    extra["codec_batch8_points_per_sec"] = round(batch_pps, 1)
+    extra["codec_seq8_points_per_sec"] = round(seq_pps, 1)
+    extra["codec_batch_speedup"] = round(batch_pps / seq_pps, 2)
 
 
 def bench_render(extra: dict) -> None:

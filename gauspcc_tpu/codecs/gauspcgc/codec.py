@@ -154,10 +154,15 @@ def _rans_dec_init(words):
 
 
 class _LevelGeometry:
-    """Host-built geometry of one pyramid level, uploaded once."""
+    """Host-built geometry of one pyramid level, uploaded once.
+
+    `prof`: optional dict accumulating {"host_s", "upload_s",
+    "upload_bytes"} (bench transfer breakdown; adds blocking, so only
+    pass it when profiling)."""
 
     def __init__(self, p_coords, p_occ, n_child: int, kernel_size: int,
-                 parent_map_dev=None, child_coords=None):
+                 parent_map_dev=None, child_coords=None, prof=None):
+        self.prof = prof
         np_ = p_coords.shape[0]
         pcap = _bucket(np_)
         self.n_parents = np_
@@ -188,15 +193,26 @@ class _LevelGeometry:
             self.p_map = self._upload_map(p_coords, np_, kernel_size, pcap, put)
         self.c_map = self._upload_map(cc, n_child, kernel_size, self.ccap, put)
 
-    @staticmethod
-    def _upload_map(coords, n_valid, kernel_size, cap, put):
+    def _upload_map(self, coords, n_valid, kernel_size, cap, put):
         """Build the packed window map on host and ship lo in u8-delta form
         (~2x fewer bytes over the tunnel); expand to int32 on device."""
+        t0 = time.time()
         lo, codes = hostmap.build_map_packed(coords, n_valid, kernel_size, cap)
         base, off, exc_pos, exc_val = sparse.pack_lo_np(lo)
+        if self.prof is not None:
+            self.prof["host_s"] = self.prof.get("host_s", 0.0) + time.time() - t0
+            t0 = time.time()
         packed = sparse.PackedLo(put(base), put(off), put(exc_pos),
                                  put(exc_val))
-        return sparse.WindowMap(sparse.expand_lo(packed, cap), put(codes))
+        wmap = sparse.WindowMap(sparse.expand_lo(packed, cap), put(codes))
+        if self.prof is not None:
+            jax.block_until_ready((wmap.lo, wmap.codes))
+            self.prof["upload_s"] = (
+                self.prof.get("upload_s", 0.0) + time.time() - t0)
+            self.prof["upload_bytes"] = self.prof.get("upload_bytes", 0) + (
+                base.nbytes + off.nbytes + exc_pos.nbytes + exc_val.nbytes
+                + codes.nbytes)
+        return wmap
 
 
 def _level_geometries(levels, kernel_size: int):
@@ -307,6 +323,7 @@ def decompress_point_cloud(
     bin_file_path: str,
     params,
     config: net.NetConfig = net.NetConfig(),
+    profile: list | None = None,
 ) -> dict:
     """Decode a .bin produced by compress_point_cloud.
 
@@ -325,7 +342,8 @@ def decompress_point_cloud(
         payload = f.read()
 
     t0 = time.time()
-    cc, n_final = _decode_levels(base_coords, base_occ, payload, params, config)
+    cc, n_final = _decode_levels(base_coords, base_occ, payload, params,
+                                 config, profile=profile)
     pts = cc.astype(np.int64) + shift
     pts = pts.astype(np.float32) * posQ
     dec_time = time.time() - t0
@@ -334,8 +352,13 @@ def decompress_point_cloud(
 
 
 def _decode_levels(base_coords, base_occ, payload: bytes, params,
-                   config: net.NetConfig):
-    """Decode the framed per-level streams; returns (int32 coords, n)."""
+                   config: net.NetConfig, profile: list | None = None):
+    """Decode the framed per-level streams; returns (int32 coords, n).
+
+    `profile`: optional list collecting one dict per level with the
+    serial-latency breakdown {host_s, upload_s, upload_bytes, device_s,
+    download_s, n_child} (VERDICT r2 item 4). Profiling inserts blocking
+    barriers, so never pass it on a throughput-measured path."""
     streams = bitstream.unpack_byte_streams(payload)
     n_levels = len(streams)
 
@@ -350,14 +373,25 @@ def _decode_levels(base_coords, base_occ, payload: bytes, params,
         reuse = None
         if prev_geo is not None and prev_geo.ccap == _bucket(p_coords.shape[0]):
             reuse = prev_geo.c_map
+        lvl_prof = {} if profile is not None else None
+        t_lvl = time.time()
         g = _LevelGeometry(p_coords, p_occ, n_child, config.kernel_size,
-                           parent_map_dev=reuse)
+                           parent_map_dev=reuse, prof=lvl_prof)
         p_dev = _params_on(params, g.device)
         put = partial(jax.device_put, device=g.device)
         w_np, _ = rans.unpack_stream(streams[depth],
                                      rans.word_capacity(g.ccap))
         words = put(w_np)
         n_valid = put(np.int32(n_child))
+        if lvl_prof is not None:
+            words.block_until_ready()
+            lvl_prof["upload_s"] = (lvl_prof.get("upload_s", 0.0)
+                                    + time.time() - t_lvl
+                                    - lvl_prof.get("host_s", 0.0)
+                                    - lvl_prof.get("upload_s", 0.0))
+            lvl_prof["upload_bytes"] = (lvl_prof.get("upload_bytes", 0)
+                                        + w_np.nbytes)
+            t_dev = time.time()
         # the whole level is enqueued asynchronously (stage k's decoded
         # symbols stay on device and feed stage k+1's conv context); the
         # host blocks once, on the occupancy bytes
@@ -370,8 +404,16 @@ def _decode_levels(base_coords, base_occ, payload: bytes, params,
             state, ptr, prev = _rans_decode_stage(
                 state, ptr, words, table, prev, n_valid, stage)
 
+        if lvl_prof is not None:
+            prev.block_until_ready()
+            lvl_prof["device_s"] = time.time() - t_dev
+            t_dl = time.time()
         p_coords = g.child_coords[:n_child]
         p_occ = np.asarray(prev)[:n_child].astype(np.int32)
+        if lvl_prof is not None:
+            lvl_prof["download_s"] = time.time() - t_dl
+            lvl_prof["n_child"] = n_child
+            profile.append(lvl_prof)
         prev_geo = g
 
     # final expansion: leaves of the finest decoded level (host)

@@ -37,6 +37,33 @@ def _raster_cfg(cam, max_k: int = 256) -> raster.RasterConfig:
     )
 
 
+def select_eval_k(state, cfg, cam, decoded: bool = False,
+                  start_k: int = 256, max_k: int = 4096,
+                  tol_db: float = 45.0) -> int:
+    """Pick the smallest per-tile cap K whose render matches the 2K render
+    to >= tol_db PSNR (VERDICT r2 item 6: the reference rasterizer blends
+    unbounded lists, HAC/gaussian_renderer/__init__.py:217-225; our
+    bounded-K eval must provably lose nothing). Doubles K until the
+    truncation tail is invisible; the consecutive-K PSNR bounds the gap to
+    the unbounded render since dropped Gaussians sit behind ever-smaller
+    transmittance."""
+    import jax.numpy as jnp  # local: keep module import surface stable
+
+    ca = hac_render.CameraArrays.from_camera(cam, with_image=False)
+    bg = jnp.zeros(3)
+    k = start_k
+    img_k = hac_render.render_image(state, cfg, ca, _raster_cfg(cam, k), bg,
+                                    decoded=decoded)
+    while k < max_k:
+        img_2k = hac_render.render_image(
+            state, cfg, ca, _raster_cfg(cam, 2 * k), bg, decoded=decoded)
+        if float(img_lib.psnr(img_k, img_2k)) >= tol_db:
+            return k
+        k *= 2
+        img_k = img_2k
+    return k
+
+
 def train_scene(
     scene: Scene,
     cfg,
@@ -208,7 +235,8 @@ def train_scene(
 
 
 def render_sets(state, cfg, cameras, out_dir: str,
-                white_background: bool = False, decoded: bool = False):
+                white_background: bool = False, decoded: bool = False,
+                max_k: int = 256):
     """Render all views; saves PNGs when PIL is available; returns arrays
     + FPS (render_set, HAC/train.py:385-437)."""
     cfg = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
@@ -218,7 +246,7 @@ def render_sets(state, cfg, cameras, out_dir: str,
     t_total = 0.0
     warmed: set = set()
     for i, cam in enumerate(cameras):
-        rcfg = _raster_cfg(cam)
+        rcfg = _raster_cfg(cam, max_k)
         ca = hac_render.CameraArrays.from_camera(cam, with_image=False)
         if (rcfg, cam.height, cam.width) not in warmed:
             # compile once per shape bucket outside the FPS clock (the
@@ -240,13 +268,18 @@ def render_sets(state, cfg, cameras, out_dir: str,
 
 
 def evaluate(state, cfg, cameras, out_dir: str,
-             white_background: bool = False, decoded: bool = False) -> dict:
+             white_background: bool = False, decoded: bool = False,
+             auto_k: bool = True) -> dict:
     """PSNR/SSIM(/LPIPS when available) against ground-truth views
     (evaluate, HAC/train.py:496-563). Works for every family: the decoded
-    render path only touches the shared scaffold."""
+    render path only touches the shared scaffold. auto_k probes the first
+    camera for the smallest visually-lossless per-tile cap."""
     cfg = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
+    max_k = 256
+    if auto_k and cameras:
+        max_k = select_eval_k(state, cfg, cameras[0], decoded=decoded)
     renders, fps = render_sets(state, cfg, cameras, out_dir,
-                               white_background, decoded)
+                               white_background, decoded, max_k=max_k)
     psnrs, ssims, lpipss = [], [], []
     lpips_fn = _try_lpips()
     per_view = {}
@@ -267,6 +300,7 @@ def evaluate(state, cfg, cameras, out_dir: str,
     return {
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
+        "eval_k": max_k,
         "lpips": float(np.mean(lpipss)) if lpipss else None,
         # "vgg16_pretrained" when a real weights npz is supplied;
         # "vgg_random_v1" = deterministic surrogate (not paper-comparable)

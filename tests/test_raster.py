@@ -188,3 +188,47 @@ def test_bf16_blend_close_to_f32():
     mse = float(jnp.mean((a - b) ** 2))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 45.0, psnr
+
+
+def test_k_sweep_convergence_and_saturation_stats():
+    """Bounded-K renders must converge as K doubles (the dropped tail sits
+    behind vanishing transmittance), and tile_saturation must report the
+    overload that drives eval-K auto-selection (VERDICT r2 item 6)."""
+    rng = np.random.default_rng(0)
+    n = 6000
+    means = (rng.random((n, 3)) * 0.8 - 0.4).astype(np.float32)
+    means[:, 2] += 2.5  # all in front of the camera, heavily overlapped
+    colors = rng.random((n, 3)).astype(np.float32)
+    opac = np.full((n, 1), 0.25, np.float32)
+    scales = np.full((n, 3), 0.08, np.float32)
+    rots = np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    view = np.eye(4, dtype=np.float32)
+
+    imgs = {}
+    for k in (32, 64, 128, 256):
+        cfg = raster.RasterConfig(64, 64, 0.7, 0.7,
+                                  max_gaussians_per_tile=k,
+                                  max_tiles_per_gaussian=64)
+        img, _ = raster.rasterize(
+            means3d=jnp.asarray(means), colors=jnp.asarray(colors),
+            opacities=jnp.asarray(opac), scales=jnp.asarray(scales),
+            rotations=jnp.asarray(rots), viewmatrix=jnp.asarray(view),
+            bg_color=jnp.zeros(3), cfg=cfg)
+        imgs[k] = np.asarray(img)
+
+    def psnr(a, b):
+        mse = np.mean((a - b) ** 2)
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    d1 = psnr(imgs[32], imgs[64])
+    d3 = psnr(imgs[128], imgs[256])
+    assert d3 > d1 + 2.0  # truncation error shrinks as K grows
+    assert d3 > 25.0  # tail fading by K=128 even at this extreme overlap
+
+    cfg = raster.RasterConfig(64, 64, 0.7, 0.7, max_gaussians_per_tile=64,
+                              max_tiles_per_gaussian=64)
+    stats = raster.tile_saturation(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rots),
+        jnp.asarray(view), cfg)
+    assert float(stats["frac_tiles_over_k"]) > 0.5  # this scene overloads
+    assert int(stats["n_alive"]) == n
