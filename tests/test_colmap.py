@@ -162,3 +162,25 @@ def test_hac_cli_on_colmap_scene(tmp_path):
     assert results["psnr"] is not None
     assert results["size_mb"] > 0
     assert os.path.exists(os.path.join(model_dir, "bitstreams"))
+
+
+def test_convert_resize_pipeline(tmp_path):
+    """convert.py driver: pre-reconstructed scene -> images/ + images_{2,4}
+    pyramids, loadable by Scene at a downscale (reference on-ramp:
+    TC-GS/convert.py)."""
+    from gauspcc_tpu.cli import convert
+
+    root = str(tmp_path / "scene")
+    write_colmap_fixture(root, n_images=4, wh=64)
+    os.rename(os.path.join(root, "images"), os.path.join(root, "input"))
+    convert.main(["-s", root, "--skip_matching", "--resize"])
+    assert os.path.isdir(os.path.join(root, "images"))
+    from PIL import Image
+
+    im = Image.open(os.path.join(root, "images_2", "frame_000.png"))
+    assert im.size == (32, 32)
+    scene = Scene(root, eval_split=False, images_dir="images_2",
+                  resolution_scale=2.0)
+    cam = scene.train_cameras[0]
+    assert cam.image.shape == (3, 32, 32)
+    assert cam.width == 32
