@@ -137,11 +137,28 @@ class PatchDataset:
         return len(self.clouds)
 
     def sample(self, idx: int) -> np.ndarray:
+        return self.sample_with_key(idx)[1]
+
+    def sample_with_key(self, idx: int):
+        """-> ((idx, part), xyz). The KD partition of a file is
+        deterministic, so (idx, part) keys a reusable geometry cache in the
+        trainer (the per-step host pyramid/map build dominated step time
+        on the 1-core host otherwise)."""
         xyz = self.clouds[idx]
+        part = -1
         if len(xyz) > self.max_num:
-            parts = kdtree_partition(xyz, self.max_num)
-            xyz = parts[self.rng.randrange(len(parts))]
-        return quantize_cloud(xyz, self.posQ, self.pre_quantized)
+            parts = self._partition(idx)
+            part = self.rng.randrange(len(parts))
+            xyz = parts[part]
+        return (idx, part), quantize_cloud(xyz, self.posQ, self.pre_quantized)
+
+    def _partition(self, idx: int):
+        cache = getattr(self, "_parts_cache", None)
+        if cache is None:
+            cache = self._parts_cache = {}
+        if idx not in cache:
+            cache[idx] = kdtree_partition(self.clouds[idx], self.max_num)
+        return cache[idx]
 
     def epoch_order(self):
         order = list(range(len(self.clouds)))

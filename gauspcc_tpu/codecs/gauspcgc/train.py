@@ -119,12 +119,16 @@ def cloud_bits(params, net_cfg, xyz_int: np.ndarray) -> tuple[float, int]:
 
 
 def train_step(params, opt_state, update_fn, net_cfg, xyz_int: np.ndarray,
-               zero_grads):
+               zero_grads, prepared=None):
     """One step on one patch: accumulate level grads, apply Adam update.
 
+    `prepared`: optional (batches, n_points) from pyramid_batches — the
+    trainer caches these per patch so steady-state steps are pure device
+    compute (no host geometry rebuild / re-upload).
     Returns (params, opt_state, bpp).
     """
-    batches, n_points = pyramid_batches(xyz_int, net_cfg.kernel_size)
+    batches, n_points = (prepared if prepared is not None
+                         else pyramid_batches(xyz_int, net_cfg.kernel_size))
     grads = zero_grads
     total_bits = 0.0
     for g, gt in batches:
@@ -157,12 +161,15 @@ def setup_logger(log_dir: str, name: str = "gauspcgc") -> logging.Logger:
 
 
 def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
-          scalar_logger=None, start_params=None):
+          scalar_logger=None, start_params=None, geo_cache_size: int = 64):
     """Full training loop over a PatchDataset; returns trained params.
 
     dataset: gauspcc_tpu.codecs.gauspcgc.data.PatchDataset
     scalar_logger: optional utils.scalars.ScalarLogger (TB/wandb/JSONL).
     start_params: resume from a params pytree instead of fresh init.
+    geo_cache_size: patches whose device-side geometry (maps, gt) stays
+    resident between epochs — the KD partition is deterministic, so a
+    revisited patch costs zero host work and zero upload.
     """
     logger = setup_logger(cfg.model_dir)
     logger.info(f"config: {cfg}")
@@ -179,14 +186,25 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     step = 0
     t0 = time.time()
     ema_bpp = None
+    geo_cache: dict = {}
+    val_cache: list | None = None
     try:
         while step < steps:
             for idx in dataset.epoch_order():
                 if step >= steps:
                     break
-                xyz = dataset.sample(idx)
+                if hasattr(dataset, "sample_with_key"):
+                    ckey, xyz = dataset.sample_with_key(idx)
+                    prepared = geo_cache.get(ckey)
+                    if prepared is None:
+                        prepared = pyramid_batches(xyz, cfg.net.kernel_size)
+                        if len(geo_cache) < geo_cache_size:
+                            geo_cache[ckey] = prepared
+                else:
+                    xyz, prepared = dataset.sample(idx), None
                 params, opt_state, bpp = train_step(
-                    params, opt_state, update_fn, cfg.net, xyz, zero_grads
+                    params, opt_state, update_fn, cfg.net, None, zero_grads,
+                    prepared=prepared,
                 )
                 step += 1
                 ema_bpp = bpp if ema_bpp is None else 0.95 * ema_bpp + 0.05 * bpp
@@ -201,10 +219,20 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                             "train/step_time": (time.time() - t0) / step,
                         })
                 if val_dataset is not None and step % cfg.val_interval == 0:
+                    if val_cache is None:
+                        val_cache = [
+                            pyramid_batches(val_dataset.get(vi),
+                                            cfg.net.kernel_size)
+                            for vi in range(len(val_dataset))
+                        ]
                     vb, vn = 0.0, 0
-                    for vi in range(len(val_dataset)):
-                        b, n = cloud_bits(params, cfg.net, val_dataset.get(vi))
-                        vb += b
+                    for batches, n in val_cache:
+                        vb += sum(
+                            float(model.level_bits_packed(
+                                params, cfg.net, g.po, g.pm, g.p_map,
+                                g.octant, g.parent_idx, g.child_mask,
+                                g.c_map, gt)[0])
+                            for g, gt in batches)
                         vn += n
                     val_bpp = vb / max(vn, 1)
                     logger.info(f"step {step} val_bpp {val_bpp:.4f}")
