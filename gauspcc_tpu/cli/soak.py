@@ -49,7 +49,7 @@ def _orbit_camera(uid, angle, hw, radius=4.0, height=0.6, fov=0.9):
 
 
 def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int,
-                kind: str = "smooth"):
+                kind: str = "smooth", white_background: bool = True):
     import jax.numpy as jnp
 
     from gauspcc_tpu.render import raster
@@ -94,7 +94,11 @@ def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int,
             opacities=jnp.asarray(opac), scales=jnp.asarray(scales),
             rotations=jnp.asarray(rots),
             viewmatrix=jnp.asarray(c.world_view_transform),
-            bg_color=jnp.zeros(3))
+            # white GT background = the Synthetic-NeRF regime the reference
+            # actually trains flat backgrounds in (train bg must match);
+            # exact-black flat GT is an SSIM-gradient pathology no reference
+            # dataset exhibits (see hac.train.make_train_step docstring)
+            bg_color=(jnp.ones(3) if white_background else jnp.zeros(3)))
         c.image = np.asarray(img)
         cams.append(c)
 
@@ -118,6 +122,7 @@ def main(argv=None):
     p.add_argument("--cams", type=int, default=24)
     p.add_argument("--seed_points", type=int, default=30_000)
     p.add_argument("--scene", default="smooth", choices=("smooth", "hard"))
+    p.add_argument("--bg", default="white", choices=("white", "black"))
     p.add_argument("--voxel_size", type=float, default=0.01)
     p.add_argument("--lmbda", type=float, default=1e-3)
     p.add_argument("--out", default="runs/soak")
@@ -138,8 +143,10 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     t0 = time.time()
+    white_bg = args.bg == "white"
     scene = build_scene(rng, args.hw, args.gt_gaussians, args.cams,
-                        args.seed_points, kind=args.scene)
+                        args.seed_points, kind=args.scene,
+                        white_background=white_bg)
     print(f"scene built in {time.time() - t0:.1f}s: "
           f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} "
           f"test cams @ {args.hw}x{args.hw}, {scene.points.shape[0]} seeds")
@@ -173,6 +180,7 @@ def main(argv=None):
     state, results = pipeline.train_scene(
         scene, cfg, opt, args.out, pcc_params=pcc_params, pcc_cfg=pcc_cfg,
         family=fam, log_every=args.log_every,
+        white_background=white_bg,
         checkpoint_every=args.checkpoint_every,
         start_checkpoint=args.resume or None,
         scalar_logger=ScalarLogger(args.out),

@@ -130,7 +130,8 @@ def train_scene(
 
     step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt,
                                         loss_fn=family.training_loss,
-                                        grad_mask=family.grad_mask)
+                                        grad_mask=family.grad_mask,
+                                        white_background=white_background)
 
     last_it = min(opt.iterations, stop_at) if stop_at else opt.iterations
     t0 = time.time()

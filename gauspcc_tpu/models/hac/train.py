@@ -118,14 +118,20 @@ def zero_stats(capacity: int, n_offsets: int):
 
 
 def make_train_step(cfg, rcfg: raster.RasterConfig,
-                    optimizer, opt: OptConfig, loss_fn=None, grad_mask=None):
+                    optimizer, opt: OptConfig, loss_fn=None, grad_mask=None,
+                    white_background: bool = False):
     """Builds the jitted (per-capacity) training step.
 
     `loss_fn` defaults to HAC's objective; other families pass theirs
     (same signature/aux contract: hac_plus.render.training_loss,
     tcgs.render.training_loss, cat3dgs.render.training_loss).
     `grad_mask(grads, phase)` freezes family-specific parameter groups
-    per phase (CAT's selective optimizer stepping, train.py:279-317)."""
+    per phase (CAT's selective optimizer stepping, train.py:279-317).
+    `white_background` composites training renders over white instead of
+    black (HAC/train.py:116 uses the dataset's bg; upstream forces white
+    for Synthetic-NeRF). Matters beyond parity: exact-black GT regions
+    put SSIM's luminance term at mu~0 where its gradient is amplified by
+    ~2eps/C1 (= 2e4*eps), which destabilizes the DSSIM loss term."""
     if loss_fn is None:
         loss_fn = hac_render.training_loss
 
@@ -133,7 +139,8 @@ def make_train_step(cfg, rcfg: raster.RasterConfig,
     def step_fn(params, rest, opt_state, stats, cam, key, phase=0):
         cap_k = params["anchors"]["offset"].shape[0] * cfg.n_offsets
         m2d = jnp.zeros((cap_k, 2), jnp.float32)
-        bg = jnp.zeros(3, jnp.float32)
+        bg = (jnp.ones(3, jnp.float32) if white_background
+              else jnp.zeros(3, jnp.float32))
 
         (loss, aux), (grads, g_m2d) = jax.value_and_grad(
             loss_fn, argnums=(0, 8), has_aux=True

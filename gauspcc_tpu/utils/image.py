@@ -28,16 +28,24 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter2d(img: jax.Array, win: np.ndarray) -> jax.Array:
-    """Separable same-padded convolution over [C, H, W]."""
+    """Separable same-padded convolution over [C, H, W].
+
+    Precision MUST be HIGHEST: on TPU, XLA lowers f32 convolutions to
+    bf16 multiplies by default, which puts ~1e-3 noise on E[x^2] near 1.0.
+    SSIM's variance E[x^2]-mu^2 then cancels to garbage on the same order
+    as C2=9e-4, the per-pixel map blows up to +-10^3, and the DSSIM loss
+    term diverges training (measured: HAC soak stalls at ~13 dB vs 40 dB
+    without the term; full f32 filters fix it)."""
     k = jnp.asarray(win)
     pad = len(win) // 2
+    hi = jax.lax.Precision.HIGHEST
 
     def conv1d(x, axis):
         x = jnp.moveaxis(x, axis, -1)
         xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
-        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(
-            xp.reshape(-1, xp.shape[-1])
-        ).reshape(x.shape)
+        out = jax.vmap(
+            lambda row: jnp.convolve(row, k, mode="valid", precision=hi)
+        )(xp.reshape(-1, xp.shape[-1])).reshape(x.shape)
         return jnp.moveaxis(out, -1, axis)
 
     return conv1d(conv1d(img, 1), 2)
