@@ -155,27 +155,95 @@ def cmd_train(args):
                     start_params=start)
 
 
+def _synth_clustered(rng):
+    """Gaussian blobs on random centers (round-1 family; near its entropy
+    floor for a context model — kept for distribution diversity)."""
+    n_centers = int(rng.integers(40, 400))
+    span = int(rng.integers(1500, 6000))
+    sigma = float(rng.uniform(5.0, 40.0))
+    n_pts = int(rng.integers(60_000, 220_000))
+    centers = rng.integers(0, span, size=(n_centers, 3))
+    pts = centers[rng.integers(0, n_centers, n_pts)] + rng.normal(
+        0, sigma, (n_pts, 3))
+    return pts, f"clustered centers={n_centers} span={span} sigma={sigma:.1f}"
+
+
+def _rand_rot(rng):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _synth_surface(rng):
+    """Dense 2-D manifolds in 3-D: random smooth heightfields, ellipsoid
+    shells, and boxes at varying sampling density -- the structure family
+    of real Gaussian-splat anchor clouds (anchors sit on scene surfaces).
+    Parent occupancy strongly predicts child occupancy on a surface, so
+    this corpus actually exercises the context model (the clustered family
+    is near its entropy floor)."""
+    span = int(rng.integers(1500, 6000))
+    n_obj = int(rng.integers(3, 10))
+    budget = int(rng.integers(80_000, 260_000))
+    parts = []
+    for _ in range(n_obj):
+        n = max(2000, int(budget * rng.dirichlet(np.ones(n_obj))[0]))
+        kind = rng.choice(["height", "shell", "box"])
+        size = span * rng.uniform(0.15, 0.6)
+        if kind == "height":
+            uv = rng.random((n, 2)) - 0.5
+            k = int(rng.integers(2, 6))
+            fr = rng.uniform(2.0, 9.0, (k, 2))
+            ph = rng.uniform(0, 2 * np.pi, k)
+            amp = rng.uniform(0.02, 0.12, k) * size
+            z = sum(a * np.sin(uv @ f + p) for a, f, p in zip(amp, fr, ph))
+            p = np.stack([uv[:, 0] * size, uv[:, 1] * size, z], 1)
+        elif kind == "shell":
+            d = rng.normal(size=(n, 3))
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            axes = size * rng.uniform(0.3, 0.8, 3) * 0.5
+            p = d * axes
+        else:  # box: sample its 6 faces
+            face = rng.integers(0, 6, n)
+            uv = rng.random((n, 2)) - 0.5
+            half = size * rng.uniform(0.3, 0.7, 3) * 0.5
+            p = np.zeros((n, 3))
+            ax = face % 3
+            sgn = np.where(face < 3, 1.0, -1.0)
+            for a in range(3):
+                m = ax == a
+                o = [(a + 1) % 3, (a + 2) % 3]
+                p[np.ix_(m, o)] = uv[m] * 2 * half[o]
+                p[m, a] = sgn[m] * half[a]
+        p = p @ _rand_rot(rng).T + rng.uniform(0.2, 0.8, 3) * span
+        p += rng.normal(0, rng.uniform(0.3, 1.5), p.shape)  # surface jitter
+        parts.append(p)
+    return np.concatenate(parts), f"surface objs={n_obj} span={span}"
+
+
 def cmd_synth(args):
-    """Generate synthetic anchor-like clustered clouds (the distribution
-    family the TPU bench measures: Gaussian blobs on random centers,
-    voxel-quantized and deduplicated). Substitutes for the GausPcc-1K
+    """Generate synthetic training clouds. Substitutes for the GausPcc-1K
     corpus in this data-less container; swap in real .ply scans when
-    available (reference training corpus, GausPcgc/README.md:73-77)."""
+    available (reference training corpus, GausPcgc/README.md:73-77).
+    kind=mixed draws 70% surface-family / 30% clustered."""
     os.makedirs(args.output_dir, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     for i in range(args.count):
-        n_centers = int(rng.integers(40, 400))
-        span = int(rng.integers(1500, 6000))
-        sigma = float(rng.uniform(5.0, 40.0))
-        n_pts = int(rng.integers(60_000, 220_000))
-        centers = rng.integers(0, span, size=(n_centers, 3))
-        pts = centers[rng.integers(0, n_centers, n_pts)] + rng.normal(
-            0, sigma, (n_pts, 3))
+        if args.kind == "clustered":
+            pts, desc = _synth_clustered(rng)
+        elif args.kind == "surface":
+            pts, desc = _synth_surface(rng)
+        else:
+            pts, desc = (_synth_surface(rng) if rng.random() < 0.7
+                         else _synth_clustered(rng))
         pts = np.unique(np.round(pts), axis=0).astype(np.float32)
         path = os.path.join(args.output_dir, f"synth_{i:04d}.npy")
         np.save(path, pts)
-        print(f"{path}: {pts.shape[0]} pts (centers={n_centers} "
-              f"span={span} sigma={sigma:.1f})")
+        print(f"{path}: {pts.shape[0]} pts ({desc})")
 
 
 def main(argv=None):
@@ -223,6 +291,8 @@ def main(argv=None):
     s.add_argument("--output_dir", required=True)
     s.add_argument("--count", type=int, default=40)
     s.add_argument("--seed", type=int, default=7)
+    s.add_argument("--kind", default="mixed",
+                   choices=("mixed", "surface", "clustered"))
     s.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
