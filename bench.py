@@ -227,6 +227,33 @@ def bench_train_iter(extra: dict) -> None:
     extra["train_ms_iter"] = round(min(times) * 1e3, 1)
     extra["train_scene"] = "synthetic 512x512, 20k anchors, phase 2"
 
+    # MFU from XLA's own cost model: compiled-program flops / wall-clock /
+    # chip peak. Honest caveat: cost_analysis counts algebraic flops of the
+    # lowered HLO (f32-equivalent), so this is the standard "model flops
+    # utilization" denominator, not an achieved-bf16-matmul number.
+    peak_bf16 = {
+        "TPU v4": 275.0, "TPU v5 lite": 197.0, "TPU v5": 459.0,
+        "TPU v5e": 197.0, "TPU v5p": 459.0, "TPU v6 lite": 918.0,
+        "TPU v6e": 918.0,
+    }
+    try:
+        comp = step.lower(params, rest, opt_state, stats, cam, key,
+                          phase=2).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        if fl > 0:
+            tflops = fl / min(times) / 1e12
+            extra["train_tflops_per_s"] = round(tflops, 3)
+            kind = jax.devices()[0].device_kind
+            peak = next((v for k, v in peak_bf16.items() if k in kind), None)
+            if peak:
+                extra["train_mfu_pct"] = round(100.0 * tflops / peak, 2)
+                extra["train_mfu_peak"] = f"{kind} bf16 {peak} TFLOP/s"
+    except Exception as e:  # cost model optional on experimental backends
+        extra["train_mfu_error"] = repr(e)[:120]
+
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
