@@ -60,6 +60,17 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 
 @partial(jax.jit, static_argnames=("config",))
+def _level_bits(params, config, po, pm, p_map, octant, parent_idx,
+                child_mask, c_map, gt):
+    """Jitted eval-only level bits (validation; eager tracing would
+    dispatch every op separately over the tunnel)."""
+    bits, _ = model.level_bits_packed(
+        params, config, po, pm, p_map, octant, parent_idx, child_mask,
+        c_map, gt)
+    return bits
+
+
+@partial(jax.jit, static_argnames=("config",))
 def _level_bits_grad(params, config, po, pm, p_map, octant, parent_idx,
                      child_mask, c_map, gt):
     def f(p):
@@ -109,13 +120,13 @@ def pyramid_batches(xyz_int: np.ndarray, kernel_size: int):
 def cloud_bits(params, net_cfg, xyz_int: np.ndarray) -> tuple[float, int]:
     """Teacher-forced total bits for a whole cloud (validation metric)."""
     batches, n_points = pyramid_batches(xyz_int, net_cfg.kernel_size)
-    total = 0.0
+    total = None
     for g, gt in batches:
-        bits, _ = model.level_bits_packed(
+        bits = _level_bits(
             params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
             g.child_mask, g.c_map, gt)
-        total += float(bits)
-    return total, n_points
+        total = bits if total is None else total + bits
+    return float(total), n_points
 
 
 def train_step(params, opt_state, update_fn, net_cfg, xyz_int: np.ndarray,
@@ -130,17 +141,19 @@ def train_step(params, opt_state, update_fn, net_cfg, xyz_int: np.ndarray,
     batches, n_points = (prepared if prepared is not None
                          else pyramid_batches(xyz_int, net_cfg.kernel_size))
     grads = zero_grads
-    total_bits = 0.0
+    total_bits = None
     for g, gt in batches:
         bits, _, grad = _level_bits_grad(
             params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
             g.child_mask, g.c_map, gt)
         grads = _accumulate(grads, grad)
-        total_bits += float(bits)
+        # accumulate on device: a float() here would block once per level
+        # (a full tunnel round-trip each), serializing the level pipeline
+        total_bits = bits if total_bits is None else total_bits + bits
     params, opt_state = update_fn(
         params, opt_state, grads, jnp.float32(1.0 / n_points)
     )
-    return params, opt_state, total_bits / n_points
+    return params, opt_state, float(total_bits) / n_points
 
 
 def setup_logger(log_dir: str, name: str = "gauspcgc") -> logging.Logger:
@@ -225,15 +238,16 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                                             cfg.net.kernel_size)
                             for vi in range(len(val_dataset))
                         ]
-                    vb, vn = 0.0, 0
+                    vb, vn = None, 0
                     for batches, n in val_cache:
-                        vb += sum(
-                            float(model.level_bits_packed(
+                        for g, gt in batches:
+                            b = _level_bits(
                                 params, cfg.net, g.po, g.pm, g.p_map,
                                 g.octant, g.parent_idx, g.child_mask,
-                                g.c_map, gt)[0])
-                            for g, gt in batches)
+                                g.c_map, gt)
+                            vb = b if vb is None else vb + b
                         vn += n
+                    vb = float(vb)  # one device sync for the whole val set
                     val_bpp = vb / max(vn, 1)
                     logger.info(f"step {step} val_bpp {val_bpp:.4f}")
                     if scalar_logger is not None:
