@@ -12,6 +12,7 @@ environment it is reported as null unless a weights file is provided
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -29,12 +30,46 @@ from gauspcc_tpu.render import raster
 from gauspcc_tpu.utils import checkpoint, image as img_lib
 
 
-def _raster_cfg(cam, max_k: int = 256) -> raster.RasterConfig:
+def _raster_cfg(cam, max_k: int = 256, max_d: int = 32) -> raster.RasterConfig:
     return raster.RasterConfig(
         height=cam.height, width=cam.width,
         tanfovx=cam.tanfovx, tanfovy=cam.tanfovy,
         max_gaussians_per_tile=max_k,
+        max_tiles_per_gaussian=max_d,
     )
+
+
+@functools.lru_cache(maxsize=16)
+def _footprint_jit(cfg, rcfg, decoded: bool):
+    import jax
+
+    def f(state, cam):
+        visible = hac_render.prefilter_voxel(state, cfg, cam, rcfg, decoded)
+        ng, _ = hac.generate_neural_gaussians(
+            state, cfg, cam.camera_center, visible, decoded=decoded)
+        return raster.max_tile_footprint(
+            ng.xyz, ng.scaling, ng.rot, cam.viewmatrix, rcfg, valid=ng.valid)
+
+    return jax.jit(f)
+
+
+def select_eval_d(state, cfg, cameras, decoded: bool = False,
+                  cap: int = 128) -> int:
+    """Smallest power-of-two per-Gaussian tile cap D that covers the
+    largest footprint over all eval views — EXACTLY equal to an unbounded
+    D, so shrinking it only cuts the binning sort's N*D pair buffer (the
+    frame-time wall at worst-case load, BASELINE.md). One cheap
+    project-only program per shape bucket; no probe renders."""
+    worst = 0
+    for cam in cameras:
+        rcfg = _raster_cfg(cam)
+        ca = hac_render.CameraArrays.from_camera(cam, with_image=False)
+        fp = int(_footprint_jit(cfg, rcfg, bool(decoded))(state, ca))
+        worst = max(worst, fp)
+    d = 4
+    while d < min(worst, cap):
+        d *= 2
+    return d
 
 
 def select_eval_k(state, cfg, cam, decoded: bool = False,
@@ -237,7 +272,7 @@ def train_scene(
 
 def render_sets(state, cfg, cameras, out_dir: str,
                 white_background: bool = False, decoded: bool = False,
-                max_k: int = 256):
+                max_k: int = 256, max_d: int = 32):
     """Render all views; saves PNGs when PIL is available; returns arrays
     + FPS (render_set, HAC/train.py:385-437)."""
     cfg = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
@@ -247,7 +282,7 @@ def render_sets(state, cfg, cameras, out_dir: str,
     t_total = 0.0
     warmed: set = set()
     for i, cam in enumerate(cameras):
-        rcfg = _raster_cfg(cam, max_k)
+        rcfg = _raster_cfg(cam, max_k, max_d)
         ca = hac_render.CameraArrays.from_camera(cam, with_image=False)
         if (rcfg, cam.height, cam.width) not in warmed:
             # compile once per shape bucket outside the FPS clock (the
@@ -276,11 +311,13 @@ def evaluate(state, cfg, cameras, out_dir: str,
     render path only touches the shared scaffold. auto_k probes the first
     camera for the smallest visually-lossless per-tile cap."""
     cfg = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
-    max_k = 256
+    max_k, max_d = 256, 32
     if auto_k and cameras:
         max_k = select_eval_k(state, cfg, cameras[0], decoded=decoded)
+        max_d = select_eval_d(state, cfg, cameras, decoded=decoded)
     renders, fps = render_sets(state, cfg, cameras, out_dir,
-                               white_background, decoded, max_k=max_k)
+                               white_background, decoded,
+                               max_k=max_k, max_d=max_d)
     psnrs, ssims, lpipss = [], [], []
     lpips_fn = _try_lpips()
     per_view = {}
@@ -302,6 +339,7 @@ def evaluate(state, cfg, cameras, out_dir: str,
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
         "eval_k": max_k,
+        "eval_d": max_d,
         "lpips": float(np.mean(lpipss)) if lpipss else None,
         # "vgg16_pretrained" when a real weights npz is supplied;
         # "vgg_random_v1" = deterministic surrogate (not paper-comparable)

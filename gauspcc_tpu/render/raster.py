@@ -341,6 +341,34 @@ def rasterize(
     return img.transpose(2, 0, 1), proj.radius
 
 
+def _footprints(proj: Projected, cfg: RasterConfig):
+    """Per-Gaussian clipped tile-footprint counts [N] (0 for culled)."""
+    r = proj.radius.astype(jnp.float32)
+    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - r) / TILE), 0, cfg.tiles_x - 1)
+    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + r) / TILE), 0, cfg.tiles_x - 1)
+    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - r) / TILE), 0, cfg.tiles_y - 1)
+    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + r) / TILE), 0, cfg.tiles_y - 1)
+    fp = ((x1 - x0 + 1) * (y1 - y0 + 1)).astype(jnp.int32)
+    return jnp.where(proj.radius > 0, fp, 0)
+
+
+def max_tile_footprint(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    viewmatrix: jax.Array,
+    cfg: RasterConfig,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """Largest clipped tile footprint of any visible Gaussian (project-only;
+    no binning sort). Drives exact auto-D selection: any D >= this renders
+    identically to unbounded D, so eval can shrink the sort's N*D pair
+    buffer with zero quality risk (the reference rasterizer duplicates
+    per-overlap without a cap, so its 'D' is effectively unbounded)."""
+    proj = project(means3d, scales, rotations, viewmatrix, cfg, valid)
+    return jnp.max(_footprints(proj, cfg))
+
+
 def tile_saturation(
     means3d: jax.Array,
     scales: jax.Array,
@@ -359,12 +387,7 @@ def tile_saturation(
     proj = project(means3d, scales, rotations, viewmatrix, cfg, valid)
     tile_start, _, _ = _build_tile_lists(proj, cfg)
     counts = tile_start[1:] - tile_start[:-1]  # [n_tiles]
-    r = proj.radius.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor((proj.mean2d[:, 0] - r) / TILE), 0, cfg.tiles_x - 1)
-    x1 = jnp.clip(jnp.floor((proj.mean2d[:, 0] + r) / TILE), 0, cfg.tiles_x - 1)
-    y0 = jnp.clip(jnp.floor((proj.mean2d[:, 1] - r) / TILE), 0, cfg.tiles_y - 1)
-    y1 = jnp.clip(jnp.floor((proj.mean2d[:, 1] + r) / TILE), 0, cfg.tiles_y - 1)
-    footprint = (x1 - x0 + 1) * (y1 - y0 + 1)
+    footprint = _footprints(proj, cfg)
     alive = proj.radius > 0
     n_alive = jnp.maximum(jnp.sum(alive), 1)
     occupied = jnp.maximum(jnp.sum(counts > 0), 1)

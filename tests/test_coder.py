@@ -8,6 +8,8 @@ from gauspcc_tpu.core import cdf as cdf_lib
 from gauspcc_tpu.ops import coder
 from gauspcc_tpu.ops import entropy_coding as ec
 
+pytestmark = pytest.mark.smoke
+
 
 def _random_probs(rng, n, L):
     p = rng.dirichlet(np.ones(L) * 0.5, size=n).astype(np.float32)

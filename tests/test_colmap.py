@@ -104,6 +104,7 @@ def write_colmap_fixture(root, n_images=9, wh=32, n_points=200, seed=0):
     return xyz_gt, rgb_gt, names
 
 
+@pytest.mark.smoke
 def test_binary_parsers_roundtrip(tmp_path):
     root = str(tmp_path / "scene")
     xyz_gt, rgb_gt, names = write_colmap_fixture(root)
@@ -129,6 +130,7 @@ def test_binary_parsers_roundtrip(tmp_path):
     np.testing.assert_array_equal(rgb, rgb_gt)
 
 
+@pytest.mark.smoke
 def test_scene_load_and_split(tmp_path):
     root = str(tmp_path / "scene")
     write_colmap_fixture(root)

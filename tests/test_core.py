@@ -1,11 +1,14 @@
 """Unit tests for quantizers, entropy models, and CDF utilities."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gauspcc_tpu.core import cdf as cdf_lib
 from gauspcc_tpu.core import entropy, quant
+
+pytestmark = pytest.mark.smoke
 
 
 def test_ste_binary_values_and_grad():

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 
 from gauspcc_tpu.utils import image as img_lib
 
+pytestmark = pytest.mark.smoke
+
 
 def _bright_pair(seed=0, hw=96):
     """Near-identical bright images (the cancellation-hostile regime)."""

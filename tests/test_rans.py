@@ -1,11 +1,14 @@
 """Device rANS coder: multi-stage lane-interleaved round-trip + rate."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gauspcc_tpu.core import cdf as cdf_lib
 from gauspcc_tpu.ops import rans
+
+pytestmark = pytest.mark.smoke
 
 
 def _random_tables(rng, cap, lps):

@@ -232,3 +232,39 @@ def test_k_sweep_convergence_and_saturation_stats():
         jnp.asarray(view), cfg)
     assert float(stats["frac_tiles_over_k"]) > 0.5  # this scene overloads
     assert int(stats["n_alive"]) == n
+
+
+def test_auto_d_footprint_cover_is_exact():
+    """A D that covers max_tile_footprint renders bit-identically to a much
+    larger D (auto-D eval selection relies on this exactness)."""
+    rng = np.random.default_rng(5)
+    n = 400
+    means = np.stack([
+        rng.uniform(-1.5, 1.5, n), rng.uniform(-1.5, 1.5, n),
+        rng.uniform(3.0, 8.0, n)], -1).astype(np.float32)
+    scales = rng.uniform(0.01, 0.12, (n, 3)).astype(np.float32)
+    rots = np.concatenate(
+        [np.ones((n, 1)), rng.normal(0, 0.2, (n, 3))], -1).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, (n, 1)).astype(np.float32)
+    view = jnp.eye(4, dtype=jnp.float32)
+
+    cfg0 = _cfg(max_tiles_per_gaussian=64)
+    fp = int(raster.max_tile_footprint(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(rots),
+        view, cfg0))
+    assert 0 < fp <= 64
+    d = 4
+    while d < fp:
+        d *= 2
+
+    imgs = {}
+    for dd in (d, 64):
+        cfg = _cfg(max_tiles_per_gaussian=dd)
+        img, _ = raster.rasterize(
+            means3d=jnp.asarray(means), colors=jnp.asarray(colors),
+            opacities=jnp.asarray(opac), scales=jnp.asarray(scales),
+            rotations=jnp.asarray(rots), viewmatrix=view,
+            bg_color=jnp.zeros(3), cfg=cfg)
+        imgs[dd] = np.asarray(img)
+    np.testing.assert_allclose(imgs[d], imgs[64], atol=1e-6)

@@ -1,10 +1,13 @@
 """Scalar-stream logging: JSONL always, TensorBoard when importable
 (HAC/train.py:283-286,634-645 parity)."""
 
+import pytest
 import json
 import os
 
 from gauspcc_tpu.utils.scalars import ScalarLogger
+
+pytestmark = pytest.mark.smoke
 
 
 def test_jsonl_and_tensorboard_sinks(tmp_path):
