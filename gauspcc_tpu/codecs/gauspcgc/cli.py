@@ -49,7 +49,7 @@ def cmd_compress(args):
         name = os.path.splitext(os.path.basename(path))[0]
         out_path = os.path.join(args.output_dir, name + ".bin")
         res = codec.compress_point_cloud(
-            xyz, params, out_path, posQ=1.0, config=cfg
+            xyz, params, out_path, posQ=1.0, config=cfg, geom=args.geom
         )
         rows.append(
             dict(file=name, bpp=res["bpp"], enc_time=res["enc_time"],
@@ -261,6 +261,8 @@ def main(argv=None):
     c.add_argument("--ckpt", required=True)
     c.add_argument("--output_dir", required=True)
     c.add_argument("--posQ", type=float, default=1.0)
+    c.add_argument("--geom", default=None, choices=("host", "device"),
+                   help="geometry build: host maps (v2) or on-device (v3)")
     c.add_argument("--batch", type=int, default=1,
                    help=">1: merge this many clouds per batch bitstream "
                         "(one set of per-level TPU dispatches per batch)")

@@ -36,6 +36,7 @@ from gauspcc_tpu.codecs.gauspcgc import model as net
 
 MAGIC = 0x47504354  # 'GPCT'
 VERSION = 2  # v2: per-level fused rANS streams (one stream per level)
+VERSION_DEVICE = 3  # v3: device-built geometry, counts in header
 MIN_BASE_POINTS = 64
 
 # Heterogeneous level placement: pyramid levels below this child capacity
@@ -271,18 +272,176 @@ def _encode_levels(levels, params, config: net.NetConfig):
     ]
 
 
+# ---------------------------------------------------------------------------
+# v3: device-built geometry
+# ---------------------------------------------------------------------------
+#
+# The host-geometry path (v2) uploads a packed neighbor map per level —
+# ~6 B/voxel/row, the dominant transfer of codec decode on a
+# bandwidth-limited link (BASELINE.md r2 breakdown). The device path
+# rebuilds the SAME geometry on the accelerator with pure integer
+# programs (fcg_expand + lex_sort + binary-search window lookup,
+# ops/sparse.py) — exact on any backend — so the only per-level traffic
+# is the rANS words themselves. Per-level child counts ride in the
+# header (the encoder knows every level size), so decode enqueues the
+# whole pyramid without a single device->host sync and blocks exactly
+# once, on the final coordinates. Encode/decode bit-identity holds as in
+# v2: both sides dispatch the same jitted programs on identical inputs.
+
+GEOM_MODE = _os.environ.get("GAUSPCC_GEOM", "host")
+
+
+@partial(jax.jit, static_argnames=("ccap",))
+def _device_children(p_coords, p_occ, p_mask, ccap: int):
+    """Expand+lex-sort the occupied children, compacted to `ccap` rows.
+
+    Reproduces the host builder's child order (hostmap.expand_children):
+    both enumerate the occupied children of the same lex-sorted parents
+    in (z, y, x) lex order."""
+    child, cm, octant, pidx = sparse.fcg_expand(p_coords, p_occ, p_mask)
+    perm = sparse.lex_sort(child, cm)[:ccap]
+    return child[perm], cm[perm], octant[perm], pidx[perm]
+
+
+def _device_levels(counts, base_coords, base_occ, config):
+    """Generator driving the shared coarse->fine device-geometry sweep.
+
+    Yields (depth, geom dict) per coded level; the caller sends back the
+    child occupancy array [ccap] (ground truth while encoding, decoded
+    while decoding) that becomes the next level's parent occupancy.
+    counts[d] = valid children of level d; len(counts) = n_levels."""
+    accel = _accel_device() or _cpu_device()
+    put = partial(jax.device_put, device=accel)
+    k = config.kernel_size
+
+    n0 = base_coords.shape[0]
+    pcap = _bucket(n0)
+    pc = np.zeros((pcap, 3), np.int32)
+    pc[:n0] = base_coords
+    p_coords = put(pc)
+    po = np.zeros(pcap, np.int32)
+    po[:n0] = base_occ
+    p_occ = put(po)
+    p_mask = put(np.arange(pcap) < n0)
+    p_map = None
+
+    for depth, n_child in enumerate(counts):
+        ccap = min(_bucket(int(n_child)), pcap * 8)
+        if p_map is None:
+            p_map = sparse.build_neighbor_map(p_coords, p_mask, p_coords,
+                                              p_mask, k)
+        child, cm, octant, pidx = _device_children(p_coords, p_occ, p_mask,
+                                                   ccap)
+        c_map = sparse.build_neighbor_map(child, cm, child, cm, k)
+        geom = {
+            "put": put, "accel": accel, "ccap": ccap, "n_child": int(n_child),
+            "p_occ": p_occ, "p_mask": p_mask, "p_map": p_map,
+            "child": child, "child_mask": cm, "octant": octant,
+            "parent_idx": pidx, "c_map": c_map,
+        }
+        child_occ = yield depth, geom
+        p_coords, p_occ, p_mask = child, child_occ, cm
+        p_map, pcap = c_map, ccap
+    # expose the final parent state for the leaf expansion
+    yield -1, {"p_coords": p_coords, "p_occ": p_occ, "p_mask": p_mask,
+               "pcap": pcap}
+
+
+def _encode_levels_device(levels, params, config: net.NetConfig):
+    """v3 encoder core: returns (streams, counts) with counts[d] = level
+    d's child count and counts[-1] = final point count."""
+    counts = [lv[0].shape[0] for lv in levels[1:]]
+    n_final = int(np.unpackbits(
+        levels[-1][1].astype(np.uint8)[:, None], axis=1).sum())
+    base_coords, base_occ = levels[0]
+    gen = _device_levels(counts, base_coords, base_occ, config)
+    pending = []
+    send = None
+    accel = _accel_device() or _cpu_device()
+    p_dev = _params_on(params, accel)
+    while True:
+        depth, g = gen.send(send)
+        if depth < 0:
+            break
+        gt_pad = np.zeros(g["ccap"], np.int32)
+        gt_pad[: g["n_child"]] = levels[depth + 1][1]
+        gt_dev = g["put"](gt_pad)
+        n_valid = g["put"](np.int32(g["n_child"]))
+        feats = _context_packed(p_dev, config, g["p_occ"], g["p_mask"],
+                                g["p_map"], g["octant"], g["parent_idx"],
+                                g["child_mask"], g["c_map"])
+        s_gt = net.split_occupancy(gt_dev)
+        prevs = [jnp.zeros_like(s_gt[0]), s_gt[0], s_gt[0] * 2 + s_gt[1],
+                 (s_gt[0] * 2 + s_gt[1]) * 4 + s_gt[2]]
+        carry = jax.device_put(rans.enc_init_np(g["ccap"]), g["accel"])
+        for stage in (3, 2, 1, 0):
+            table = _stage_cdf(p_dev, stage, feats, g["c_map"], prevs[stage])
+            carry = _rans_encode_stage(carry, table, s_gt[stage], n_valid)
+        pending.append(_rans_flush(carry))
+        send = gt_dev
+    streams = [
+        rans.pack_stream(np.asarray(words), np.asarray(n_words))
+        for words, n_words in pending
+    ]
+    return streams, counts + [n_final]
+
+
+def _decode_levels_device(base_coords, base_occ, payload: bytes, counts,
+                          params, config: net.NetConfig):
+    """v3 decoder core: the whole pyramid is enqueued asynchronously; the
+    single host block is the final coordinate download."""
+    streams = bitstream.unpack_byte_streams(payload)
+    n_levels = len(streams)
+    assert len(counts) == n_levels + 1
+    gen = _device_levels(counts[:-1], base_coords.astype(np.int32),
+                         base_occ.astype(np.int32), config)
+    accel = _accel_device() or _cpu_device()
+    p_dev = _params_on(params, accel)
+    send = None
+    while True:
+        depth, g = gen.send(send)
+        if depth < 0:
+            break
+        feats = _context_packed(p_dev, config, g["p_occ"], g["p_mask"],
+                                g["p_map"], g["octant"], g["parent_idx"],
+                                g["child_mask"], g["c_map"])
+        w_np, _ = rans.unpack_stream(streams[depth],
+                                     rans.word_capacity(g["ccap"]))
+        words = g["put"](w_np)
+        n_valid = g["put"](np.int32(g["n_child"]))
+        state, ptr = _rans_dec_init(words)
+        prev = g["put"](np.zeros(g["ccap"], np.int32))
+        for stage in range(4):
+            table = _stage_cdf(p_dev, stage, feats, g["c_map"], prev)
+            state, ptr, prev = _rans_decode_stage(
+                state, ptr, words, table, prev, n_valid, stage)
+        send = prev  # the decoded occupancy bytes seed the next level
+    fin = g
+    n_final = int(counts[-1])
+    fcap = min(_bucket(n_final), fin["pcap"] * 8)
+    child, _, _, _ = _device_children(fin["p_coords"], fin["p_occ"],
+                                      fin["p_mask"], fcap)
+    return np.asarray(child[:n_final]), n_final
+
+
 def compress_point_cloud(
     xyz_quantized,
     params,
     output_path: str,
     posQ: float = 1.0,
     config: net.NetConfig = net.NetConfig(),
+    geom: str | None = None,
 ) -> dict:
     """Compress integer coords [N, 3] to `output_path`.
 
     Returns {bpp, enc_time, file_size_bits, num_points, output_path},
     the same result surface as the reference API (pcc_utils.py:205-217).
+
+    `geom`: "host" (v2 bitstream, host-built neighbor maps) or "device"
+    (v3, geometry rebuilt on the accelerator; see the v3 block comment).
+    Defaults to $GAUSPCC_GEOM or "host".
     """
+    geom = geom or GEOM_MODE
     xyz = np.asarray(xyz_quantized)
     if posQ != 1.0:
         xyz = np.round(xyz / posQ)
@@ -294,18 +453,25 @@ def compress_point_cloud(
     xyz0 = np.unique(xyz - shift, axis=0).astype(np.int32)
 
     levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
-    streams = _encode_levels(levels, params, config)
+    if geom == "device":
+        streams, counts = _encode_levels_device(levels, params, config)
+    else:
+        streams = _encode_levels(levels, params, config)
 
     base_coords, base_occ = levels[0]
     payload = bitstream.pack_byte_streams(streams)
     with open(output_path, "wb") as f:
         f.write(np.uint32(MAGIC).tobytes())
-        f.write(np.uint8(VERSION).tobytes())
+        f.write(np.uint8(VERSION_DEVICE if geom == "device" else VERSION
+                         ).tobytes())
         f.write(np.float16(posQ).tobytes())
         f.write(shift.astype(np.int32).tobytes())
         f.write(np.int32(base_coords.shape[0]).tobytes())
         f.write(base_coords.astype(np.int32).tobytes())
         f.write(base_occ.astype(np.uint8).tobytes())
+        if geom == "device":
+            f.write(np.uint8(len(counts) - 1).tobytes())
+            f.write(np.asarray(counts, np.int32).tobytes())
         f.write(payload)
     enc_time = time.time() - t0
 
@@ -333,17 +499,24 @@ def decompress_point_cloud(
     with open(bin_file_path, "rb") as f:
         magic = np.frombuffer(f.read(4), np.uint32)[0]
         assert magic == MAGIC, "not a GPCT bitstream"
-        _version = np.frombuffer(f.read(1), np.uint8)[0]
+        version = int(np.frombuffer(f.read(1), np.uint8)[0])
         posQ = float(np.frombuffer(f.read(2), np.float16)[0])
         shift = np.frombuffer(f.read(12), np.int32).astype(np.int64)
         base_len = int(np.frombuffer(f.read(4), np.int32)[0])
         base_coords = np.frombuffer(f.read(base_len * 12), np.int32).reshape(-1, 3)
         base_occ = np.frombuffer(f.read(base_len), np.uint8)
+        if version >= VERSION_DEVICE:
+            n_levels = int(np.frombuffer(f.read(1), np.uint8)[0])
+            counts = np.frombuffer(f.read(4 * (n_levels + 1)), np.int32)
         payload = f.read()
 
     t0 = time.time()
-    cc, n_final = _decode_levels(base_coords, base_occ, payload, params,
-                                 config, profile=profile)
+    if version >= VERSION_DEVICE:
+        cc, n_final = _decode_levels_device(base_coords, base_occ, payload,
+                                            counts, params, config)
+    else:
+        cc, n_final = _decode_levels(base_coords, base_occ, payload, params,
+                                     config, profile=profile)
     pts = cc.astype(np.int64) + shift
     pts = pts.astype(np.float32) * posQ
     dec_time = time.time() - t0

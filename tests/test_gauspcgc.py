@@ -128,3 +128,41 @@ def test_batch_rate_close_to_sequential(tmp_path, params):
     batch = codec.compress_point_cloud_batch(
         clouds, params, str(tmp_path / "b.binb"), config=CFG)
     assert batch["file_size_bits"] < solo_bits * 1.1
+
+
+@pytest.mark.smoke
+def test_device_geom_roundtrip_bit_exact(tmp_path, params):
+    """v3 bitstream: geometry rebuilt on-device (fcg_expand + lex_sort +
+    binary-search maps), per-level counts in the header, decode syncs only
+    on the final coordinates. Lossless like v2."""
+    rng = np.random.default_rng(7)
+    xyz = _cloud(rng, 1500, extent=128, offset=(-9, 3, -17))
+    out = codec.compress_point_cloud(
+        xyz, params, str(tmp_path / "pc.bin"), config=CFG, geom="device")
+    assert out["num_points"] == xyz.shape[0]
+    dec = codec.decompress_point_cloud(str(tmp_path / "pc.bin"), params,
+                                       config=CFG)
+    got = np.unique(dec["point_cloud"].astype(np.int64), axis=0)
+    want = np.unique(xyz.astype(np.int64), axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_geom_matches_host_children():
+    """The device child enumeration must reproduce the host builder's lex
+    order exactly (the property the v3 coded-symbol alignment rests on)."""
+    from gauspcc_tpu.ops import hostmap, sparse
+
+    rng = np.random.default_rng(8)
+    xyz = _cloud(rng, 2500, extent=64)
+    xyz0 = np.unique(xyz - xyz.min(axis=0), axis=0).astype(np.int32)
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=codec.MIN_BASE_POINTS)
+    for d in range(len(levels) - 1):
+        pcd, occ = levels[d]
+        n_child = levels[d + 1][0].shape[0]
+        pc, po, pm = codec._pad_parents(pcd, occ)
+        ccap = min(codec._bucket(n_child), pc.shape[0] * 8)
+        child, cm, octant, pidx = codec._device_children(pc, po, pm, ccap)
+        child = np.asarray(child)[: n_child]
+        np.testing.assert_array_equal(child, levels[d + 1][0])
+        assert bool(np.all(np.asarray(cm)[:n_child]))
+        assert not np.any(np.asarray(cm)[n_child:])
