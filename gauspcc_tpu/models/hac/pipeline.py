@@ -254,6 +254,17 @@ def train_scene(
             os.path.join(model_dir, "test_renders"),
             white_background=white_background, decoded=True,
         )
+        # the reference's core claim is that coding costs ~nothing: report
+        # the float-model PSNR on the same views and the encode->decode
+        # delta alongside (HAC/train.py:291-382 logs both paths)
+        float_res = evaluate(
+            state, cfg, scene.test_cameras or scene.train_cameras[:2],
+            os.path.join(model_dir, "float_renders"),
+            white_background=white_background, decoded=False,
+        )
+        results["psnr_float"] = float_res["psnr"]
+        if results.get("psnr") is not None and float_res["psnr"] is not None:
+            results["codec_delta_db"] = float_res["psnr"] - results["psnr"]
         results["size_bits"] = sizes
         results["size_mb"] = sizes["total"] / hac_codec.BIT2MB
         json.dump(results, open(os.path.join(model_dir, "results.json"), "w"),
