@@ -107,9 +107,14 @@ def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int,
                 + rng.normal(0, 0.02, (n_seed, 3)).astype(np.float32))
     extent = float(np.linalg.norm(
         np.ptp(np.stack([c.camera_center for c in cams]), axis=0)) * 0.5)
-    n_test = max(2, n_cams // 8)
-    return SyntheticScene(cams[n_test:], cams[:n_test],
-                          seed_pts.astype(np.float32), extent)
+    # interleaved holdout, the reference's llffhold=8 split (HAC/scene/
+    # dataset_readers.py:142-167): every 8th orbit view is a test view.
+    # (A contiguous held-out arc — the old split — leaves a 45-degree
+    # coverage hole that costs several dB of test PSNR by itself.)
+    hold = 8
+    test = [c for i, c in enumerate(cams) if i % hold == 0]
+    train = [c for i, c in enumerate(cams) if i % hold != 0]
+    return SyntheticScene(train, test, seed_pts.astype(np.float32), extent)
 
 
 def main(argv=None):
