@@ -54,3 +54,19 @@ def test_full_pipeline(tmp_path):
     assert saved["psnr"] is not None and np.isfinite(saved["psnr"])
     assert saved["size_mb"] > 0
     assert os.path.exists(os.path.join(model_dir, "bitstreams", "xyz_pcc.bin"))
+
+
+@pytest.mark.smoke
+def test_soak_scene_interleaved_holdout():
+    """The soak scene must hold out every 8th orbit view (llffhold=8,
+    HAC/scene/dataset_readers.py:142-167), not a contiguous arc."""
+    import numpy as np
+
+    from gauspcc_tpu.cli.soak import build_scene
+
+    scene = build_scene(np.random.default_rng(0), 16, 50, 16, 200,
+                        kind="smooth")
+    assert len(scene.test_cameras) == 2 and len(scene.train_cameras) == 14
+    # uid encodes the orbit index; test views are 0 and 8
+    assert [c.uid for c in scene.test_cameras] == [0, 8]
+    assert all(c.uid % 8 != 0 for c in scene.train_cameras)
