@@ -83,7 +83,7 @@ def _compress_batched(args, cfg, params):
         ]
         out_path = os.path.join(args.output_dir, f"batch_{gi:04d}.binb")
         res = codec.compress_point_cloud_batch(
-            clouds, params, out_path, posQ=1.0, config=cfg)
+            clouds, params, out_path, posQ=1.0, config=cfg, geom=args.geom)
         total_pts += res["num_points"]
         rows.append(dict(
             file=os.path.basename(out_path), bpp=res["bpp"],

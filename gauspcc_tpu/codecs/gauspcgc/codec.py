@@ -640,22 +640,29 @@ def compress_point_cloud_batch(
     output_path: str,
     posQ: float = 1.0,
     config: net.NetConfig = net.NetConfig(),
+    geom: str | None = None,
 ) -> dict:
     """Compress M quantized clouds into one batch bitstream.
 
     Returns aggregate {bpp, enc_time, file_size_bits, num_points,
-    num_clouds, output_path}; decode with decompress_point_cloud_batch."""
+    num_clouds, output_path}; decode with decompress_point_cloud_batch.
+    `geom` as in :func:`compress_point_cloud`."""
+    geom = geom or GEOM_MODE
     t0 = time.time()
     merged, shifts, counts, lbits = _merge_clouds(clouds, posQ)
     levels = sparse.build_occupancy_pyramid(merged, min_points=MIN_BASE_POINTS)
-    streams = _encode_levels(levels, params, config)
+    if geom == "device":
+        streams, lvl_counts = _encode_levels_device(levels, params, config)
+    else:
+        streams = _encode_levels(levels, params, config)
 
     base_coords, base_occ = levels[0]
     payload = bitstream.pack_byte_streams(streams)
     m = len(clouds)
     with open(output_path, "wb") as f:
         f.write(np.uint32(BATCH_MAGIC).tobytes())
-        f.write(np.uint8(VERSION).tobytes())
+        f.write(np.uint8(VERSION_DEVICE if geom == "device" else VERSION
+                         ).tobytes())
         f.write(np.float16(posQ).tobytes())
         f.write(np.int32([m, lbits]).tobytes())
         f.write(shifts.astype(np.int32).tobytes())
@@ -663,6 +670,9 @@ def compress_point_cloud_batch(
         f.write(np.int32(base_coords.shape[0]).tobytes())
         f.write(base_coords.astype(np.int32).tobytes())
         f.write(base_occ.astype(np.uint8).tobytes())
+        if geom == "device":
+            f.write(np.uint8(len(lvl_counts) - 1).tobytes())
+            f.write(np.asarray(lvl_counts, np.int32).tobytes())
         f.write(payload)
     enc_time = time.time() - t0
 
@@ -688,7 +698,7 @@ def decompress_point_cloud_batch(
     with open(bin_file_path, "rb") as f:
         magic = np.frombuffer(f.read(4), np.uint32)[0]
         assert magic == BATCH_MAGIC, "not a GPCB batch bitstream"
-        _version = np.frombuffer(f.read(1), np.uint8)[0]
+        version = int(np.frombuffer(f.read(1), np.uint8)[0])
         posQ = float(np.frombuffer(f.read(2), np.float16)[0])
         m, lbits = (int(v) for v in np.frombuffer(f.read(8), np.int32))
         shifts = np.frombuffer(f.read(12 * m), np.int32).reshape(m, 3)
@@ -696,10 +706,18 @@ def decompress_point_cloud_batch(
         base_len = int(np.frombuffer(f.read(4), np.int32)[0])
         base_coords = np.frombuffer(f.read(base_len * 12), np.int32).reshape(-1, 3)
         base_occ = np.frombuffer(f.read(base_len), np.uint8)
+        if version >= VERSION_DEVICE:
+            n_levels = int(np.frombuffer(f.read(1), np.uint8)[0])
+            lvl_counts = np.frombuffer(f.read(4 * (n_levels + 1)), np.int32)
         payload = f.read()
 
     t0 = time.time()
-    cc, n_final = _decode_levels(base_coords, base_occ, payload, params, config)
+    if version >= VERSION_DEVICE:
+        cc, n_final = _decode_levels_device(base_coords, base_occ, payload,
+                                            lvl_counts, params, config)
+    else:
+        cc, n_final = _decode_levels(base_coords, base_occ, payload, params,
+                                     config)
     cloud_id = cc[:, 2] >> lbits
     local = cc.astype(np.int64)
     local[:, 2] -= (cloud_id.astype(np.int64) << lbits)

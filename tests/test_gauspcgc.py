@@ -166,3 +166,20 @@ def test_device_geom_matches_host_children():
         np.testing.assert_array_equal(child, levels[d + 1][0])
         assert bool(np.all(np.asarray(cm)[:n_child]))
         assert not np.any(np.asarray(cm)[n_child:])
+
+
+@pytest.mark.smoke
+def test_batch_device_geom_roundtrip(tmp_path, params):
+    """Batched bitstream with on-device geometry (v3): lossless per cloud."""
+    rng = np.random.default_rng(11)
+    clouds = [_cloud(rng, n, extent=96, offset=tuple(rng.integers(-20, 20, 3)))
+              for n in (700, 1200, 900)]
+    out = codec.compress_point_cloud_batch(
+        clouds, params, str(tmp_path / "b.binb"), config=CFG, geom="device")
+    assert out["num_clouds"] == 3
+    dec = codec.decompress_point_cloud_batch(str(tmp_path / "b.binb"),
+                                             params, config=CFG)
+    for src, got in zip(clouds, dec["point_clouds"]):
+        a = np.unique(src.astype(np.int64), axis=0)
+        b = np.unique(got.astype(np.int64), axis=0)
+        np.testing.assert_array_equal(a, b)
