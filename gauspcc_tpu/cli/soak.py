@@ -70,6 +70,25 @@ def build_scene(rng, hw: int, n_gt: int, n_cams: int, n_seed: int,
             np.float32)
         scales = (rng.random((n_gt, 3)) * 0.06 + 0.03).astype(np.float32)
         opac = (rng.random((n_gt, 1)) * 0.45 + 0.5).astype(np.float32)
+    elif kind == "textured":
+        # smooth + mid-frequency texture. The all-low-frequency scene is
+        # degenerate for the reference's noise schedule: color is nearly a
+        # function of the view ray alone, so under phase-1 feat noise the
+        # RD-optimal MLPs learn to IGNORE the anchor features (measured:
+        # clean and noisy renders agree at ~20.5 dB by iter 6000 while a
+        # noise-free run holds ~30). Photographic scenes — the regime the
+        # reference actually trains in — have texture that only the
+        # per-anchor features can carry, which anchors them against the
+        # noise. Mid frequencies (wavelength ~0.8-1.6 units >> anchor
+        # spacing ~0.02) keep the scene fittable.
+        lo_f = np.array([[2.1, 0.7, 1.3], [0.9, 2.4, 1.7], [1.5, 1.1, 2.6]])
+        hi_f = np.array([[5.3, 7.1, 4.2], [6.7, 3.9, 5.8], [4.4, 6.1, 7.3]])
+        phases = np.array([0.0, 2.1, 4.2])
+        colors = (0.5 + 0.27 * np.sin(means @ lo_f.T + phases)
+                  + 0.18 * np.sin(means @ hi_f.T + 1.3 * phases + 0.7))
+        colors = np.clip(colors, 0.0, 1.0).astype(np.float32)
+        scales = (rng.random((n_gt, 3)) * 0.06 + 0.03).astype(np.float32)
+        opac = (rng.random((n_gt, 1)) * 0.45 + 0.5).astype(np.float32)
     else:  # "hard": round-2's high-frequency field, kept for stress runs
         colors = rng.random((n_gt, 3)).astype(np.float32)
         scales = (rng.random((n_gt, 3)) * 0.05 + 0.015).astype(np.float32)
@@ -126,7 +145,8 @@ def main(argv=None):
     p.add_argument("--gt_gaussians", type=int, default=6000)
     p.add_argument("--cams", type=int, default=24)
     p.add_argument("--seed_points", type=int, default=30_000)
-    p.add_argument("--scene", default="smooth", choices=("smooth", "hard"))
+    p.add_argument("--scene", default="textured",
+                   choices=("textured", "smooth", "hard"))
     p.add_argument("--bg", default="white", choices=("white", "black"))
     p.add_argument("--voxel_size", type=float, default=0.01)
     p.add_argument("--lmbda", type=float, default=1e-3)

@@ -27,6 +27,8 @@ def main(argv=None):
     p.add_argument("--cams", type=int, default=24)
     p.add_argument("--seed_points", type=int, default=30_000)
     p.add_argument("--voxel_size", type=float, default=0.01)
+    p.add_argument("--scene", default="textured",
+                   choices=("textured", "smooth", "hard"))
     p.add_argument("--pcc_ckpt", default="model/gauspcgc/best_model.npz")
     args = p.parse_args(argv)
 
@@ -57,7 +59,7 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)  # same seed as the soak -> same scene
     scene = soak_mod.build_scene(rng, args.hw, args.gt_gaussians, args.cams,
-                                 args.seed_points)
+                                 args.seed_points, kind=args.scene)
 
     bs_dir = os.path.join(args.run, "bitstreams")
     if fam.name == "hac":
