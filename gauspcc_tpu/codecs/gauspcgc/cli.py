@@ -152,7 +152,8 @@ def cmd_train(args):
 
     train_lib.train(cfg, ds, val,
                     scalar_logger=ScalarLogger(cfg.model_dir),
-                    start_params=start)
+                    start_params=start,
+                    resume_state=args.resume_state or None)
 
 
 def _synth_clustered(rng):
@@ -287,6 +288,9 @@ def main(argv=None):
                    help="comma-separated decay milestones (x0.1 each)")
     t.add_argument("--val_interval", type=int, default=500)
     t.add_argument("--resume", default="", help="params .npz to resume from")
+    t.add_argument("--resume_state", default="",
+                   help="train_state.pkl for a full resume (params + "
+                        "optimizer moments + step)")
     t.set_defaults(fn=cmd_train)
 
     s = sub.add_parser("synth")

@@ -174,7 +174,8 @@ def setup_logger(log_dir: str, name: str = "gauspcgc") -> logging.Logger:
 
 
 def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
-          scalar_logger=None, start_params=None, geo_cache_size: int = 64):
+          scalar_logger=None, start_params=None, geo_cache_size: int = 64,
+          resume_state: str | None = None, state_every: int = 1000):
     """Full training loop over a PatchDataset; returns trained params.
 
     dataset: gauspcc_tpu.codecs.gauspcgc.data.PatchDataset
@@ -183,6 +184,10 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     geo_cache_size: patches whose device-side geometry (maps, gt) stays
     resident between epochs — the KD partition is deterministic, so a
     revisited patch costs zero host work and zero upload.
+    resume_state: path of a train_state.pkl written by a previous run —
+    restores params, optimizer moments, step and best-val so a run
+    interrupted mid-flight (device stall, crash) continues losslessly;
+    state_every: how often (steps) the full state snapshot is written.
     """
     logger = setup_logger(cfg.model_dir)
     logger.info(f"config: {cfg}")
@@ -192,11 +197,20 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
     update_fn = make_update_fn(optimizer)
-    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     steps = max_steps or cfg.max_steps
     best_val = float("inf")
     step = 0
+    state_path = os.path.join(cfg.model_dir, "train_state.pkl")
+    if resume_state and os.path.exists(resume_state):
+        snap = checkpoint.load_training_checkpoint(resume_state)
+        params = snap["params"]
+        opt_state = snap["opt_state"]
+        step = int(snap["iteration"])
+        best_val = float(snap.get("best_val", best_val))
+        logger.info(f"resumed full state from {resume_state} at step {step}")
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    step0 = step
     t0 = time.time()
     ema_bpp = None
     geo_cache: dict = {}
@@ -224,12 +238,13 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                 if step % cfg.log_interval == 0:
                     logger.info(
                         f"step {step} bpp {bpp:.4f} ema {ema_bpp:.4f} "
-                        f"({(time.time()-t0)/step:.3f} s/step)"
+                        f"({(time.time()-t0)/max(step - step0, 1):.3f} s/step)"
                     )
                     if scalar_logger is not None:
                         scalar_logger.log(step, {
                             "train/bpp": bpp, "train/ema_bpp": ema_bpp,
-                            "train/step_time": (time.time() - t0) / step,
+                            "train/step_time":
+                                (time.time() - t0) / max(step - step0, 1),
                         })
                 if val_dataset is not None and step % cfg.val_interval == 0:
                     if val_cache is None:
@@ -261,6 +276,13 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                     checkpoint.save_pytree(
                         os.path.join(cfg.model_dir, f"ckpt_{step}.npz"), params
                     )
+                if state_every and step % state_every == 0:
+                    if os.path.exists(state_path):
+                        os.replace(state_path, state_path + ".prev")
+                    checkpoint.save_training_checkpoint(state_path, {
+                        "params": params, "opt_state": opt_state,
+                        "iteration": step, "best_val": best_val,
+                    })
     except Exception:
         # crash dump, mirroring GausPcgc/train.py:237-240
         checkpoint.save_pytree(
