@@ -107,3 +107,26 @@ def test_ply_roundtrip(tmp_path):
     data.save_ply_ascii_geo(pts, path)
     back = data.read_points(path)
     np.testing.assert_allclose(back, pts, rtol=1e-5)
+
+
+def test_full_state_resume(tmp_path):
+    """train_state.pkl restores params + optimizer moments + step: a run
+    interrupted mid-flight continues where it stopped (device stalls on
+    the tunneled chip make this load-bearing for long runs)."""
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "c.npy")
+    np.save(p, _make_cloud(rng, 3000))
+    cfg = train_lib.TrainConfig(
+        channels=8, kernel_size=3, max_steps=2, val_interval=100,
+        model_dir=str(tmp_path / "m"), lr_decay_steps=(50,))
+    ds = data.PatchDataset([p], pre_quantized=True, seed=0, max_num=2000)
+    train_lib.train(cfg, ds, None, state_every=1)
+    state_path = str(tmp_path / "m" / "train_state.pkl")
+    assert os.path.exists(state_path)
+    snap = checkpoint.load_training_checkpoint(state_path)
+    assert snap["iteration"] == 2
+    # resume continues to step 4 and rewrites the snapshot
+    train_lib.train(cfg, ds, None, max_steps=4, resume_state=state_path,
+                    state_every=1)
+    snap2 = checkpoint.load_training_checkpoint(state_path)
+    assert snap2["iteration"] == 4
