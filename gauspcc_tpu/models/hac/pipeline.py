@@ -326,9 +326,15 @@ def evaluate(state, cfg, cameras, out_dir: str,
     if auto_k and cameras:
         max_k = select_eval_k(state, cfg, cameras[0], decoded=decoded)
         max_d = select_eval_d(state, cfg, cameras, decoded=decoded)
+    # progress heartbeat: the eval phase is otherwise silent for minutes,
+    # which external stall watchdogs misread as a hung device
+    print(f"eval: K={max_k} D={max_d}, rendering {len(cameras)} views",
+          flush=True)
     renders, fps = render_sets(state, cfg, cameras, out_dir,
                                white_background, decoded,
                                max_k=max_k, max_d=max_d)
+    print(f"eval: {len(renders)} views rendered, computing metrics",
+          flush=True)
     psnrs, ssims, lpipss = [], [], []
     lpips_fn = _try_lpips()
     per_view = {}
