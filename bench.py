@@ -44,14 +44,18 @@ def bench_codec(extra: dict) -> float:
     from gauspcc_tpu.codecs.gauspcgc import codec, model
 
     cfg = model.NetConfig(channels=32, kernel_size=5)
-    ckpt_path = os.path.join(os.path.dirname(__file__),
-                             "model", "gauspcgc", "best_model.npz")
-    if os.path.exists(ckpt_path):
+    here = os.path.dirname(__file__)
+    ckpt_path = next(
+        (p for p in (os.path.join(here, "model", "gauspcgc_r3", "best_model.npz"),
+                     os.path.join(here, "model", "gauspcgc", "best_model.npz"))
+         if os.path.exists(p)), "")
+    if ckpt_path:
         from gauspcc_tpu.utils import checkpoint
 
         params = checkpoint.load_pytree(
             ckpt_path, model.init_params(jax.random.PRNGKey(0), cfg))
         extra["codec_trained"] = True
+        extra["codec_ckpt"] = os.path.relpath(ckpt_path, here)
     else:
         params = model.init_params(jax.random.PRNGKey(0), cfg)
         extra["codec_trained"] = False
