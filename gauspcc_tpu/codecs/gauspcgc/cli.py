@@ -106,6 +106,7 @@ def cmd_decompress(args):
     cfg = model.NetConfig(args.channels, args.kernel_size)
     params = _load_params(args.ckpt, cfg)
     os.makedirs(args.output_dir, exist_ok=True)
+    rows = []
     for path in sorted(glob(args.input)):
         name = os.path.splitext(os.path.basename(path))[0]
         if path.endswith(".binb"):
@@ -115,11 +116,22 @@ def cmd_decompress(args):
                 data.save_ply_ascii_geo(pc, out_path)
             print(f"{name}: {res['num_points']} pts in "
                   f"{len(res['point_clouds'])} clouds, {res['dec_time']:.2f}s")
-            continue
-        res = codec.decompress_point_cloud(path, params, config=cfg)
-        out_path = os.path.join(args.output_dir, name + ".ply")
-        data.save_ply_ascii_geo(res["point_cloud"], out_path)
-        print(f"{name}: {res['num_points']} pts, {res['dec_time']:.2f}s -> {out_path}")
+        else:
+            res = codec.decompress_point_cloud(path, params, config=cfg)
+            out_path = os.path.join(args.output_dir, name + ".ply")
+            data.save_ply_ascii_geo(res["point_cloud"], out_path)
+            print(f"{name}: {res['num_points']} pts, "
+                  f"{res['dec_time']:.2f}s -> {out_path}")
+        rows.append(dict(file=name, dec_time=res["dec_time"],
+                         num_points=res["num_points"]))
+    # per-file decode CSV, as the reference's decompress driver writes
+    # (decompress_ue_4stage_conv.py:188-192)
+    csv_path = os.path.join(args.output_dir, "decompress_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"decoded {len(rows)} files -> {csv_path}")
 
 
 def cmd_train(args):
