@@ -165,6 +165,7 @@ def cmd_train(args):
     train_lib.train(cfg, ds, val,
                     scalar_logger=ScalarLogger(cfg.model_dir),
                     start_params=start,
+                    geo_cache_size=args.geo_cache,
                     resume_state=args.resume_state or None)
 
 
@@ -296,6 +297,10 @@ def main(argv=None):
     t.add_argument("--learning_rate", type=float, default=5e-4)
     t.add_argument("--max_steps", type=int, default=110_000)
     t.add_argument("--max_patch_points", type=int, default=data.MAX_PATCH_POINTS)
+    t.add_argument("--geo_cache", type=int, default=64,
+                   help="patches whose device geometry stays resident "
+                        "(~4.5 MB per 150k-pt patch); size it to the corpus "
+                        "so steady-state steps are device-only")
     t.add_argument("--lr_decay_steps", default="40000,90000",
                    help="comma-separated decay milestones (x0.1 each)")
     t.add_argument("--val_interval", type=int, default=500)

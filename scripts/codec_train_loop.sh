@@ -1,0 +1,40 @@
+#!/bin/bash
+# Auto-resuming codec trainer (same rationale as soak_loop.sh: the TPU
+# tunnel drops occasionally; the trainer snapshots full state every
+# --state_every steps, so relaunch with --resume_state continues losslessly).
+#
+#   bash scripts/codec_train_loop.sh model/gauspcgc_r3 --max_steps 30000 ...
+set -u
+DIR=$1; shift
+STALL_S=${STALL_S:-1200}
+mkdir -p "$DIR"
+LOG="$DIR/loop.log"
+for attempt in $(seq 1 40); do
+  RESUME=""
+  if [ -f "$DIR/train_state.pkl" ]; then RESUME="--resume_state $DIR/train_state.pkl"; fi
+  echo "=== codec-train attempt $attempt $(date -u +%FT%TZ) resume=${RESUME:-none} ===" >> "$LOG"
+  python -m gauspcc_tpu.codecs.gauspcgc.cli train \
+    --model_save_folder "$DIR" $RESUME "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  code=""
+  while true; do
+    sleep 60
+    if ! kill -0 "$pid" 2>/dev/null; then
+      wait "$pid"; code=$?; break
+    fi
+    now=$(date +%s); mt=$(stat -c %Y "$DIR/train.log" 2>/dev/null || echo 0)
+    if [ $((now - mt)) -gt "$STALL_S" ]; then
+      echo "=== attempt $attempt stalled ${STALL_S}s, killing pid $pid ===" >> "$LOG"
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null; code=97; break
+    fi
+  done
+  if [ "$code" -eq 0 ]; then
+    echo "=== codec train done (attempt $attempt) ===" >> "$LOG"
+    exit 0
+  fi
+  echo "=== exited $code; retry in 60s ===" >> "$LOG"
+  sleep 60
+done
+echo "=== gave up after 40 attempts ===" >> "$LOG"
+exit 1
