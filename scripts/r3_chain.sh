@@ -26,9 +26,12 @@ bash scripts/codec_train_loop.sh model/gauspcgc_r3 \
   --val_interval 1000 --geo_cache 256
 echo "=== codec train finished $(date -u +%FT%TZ) ===" >> "$LOG"
 
+PCC_CKPT=model/gauspcgc/best_model.npz
+if [ -f model/gauspcgc_r3/best_model.npz ]; then PCC_CKPT=model/gauspcgc_r3/best_model.npz; fi
 for fam in hac_plus tcgs cat3dgs; do
   bash scripts/soak_loop.sh "runs/soak_${fam}_r3y" \
-    --model "$fam" --iters 10000 --hw 512 --cams 64 --scene textured
+    --model "$fam" --iters 10000 --hw 512 --cams 64 --scene textured \
+    --pcc_ckpt "$PCC_CKPT"
   echo "=== $fam soak finished $(date -u +%FT%TZ) ===" >> "$LOG"
 done
 echo "=== chain done $(date -u +%FT%TZ) ===" >> "$LOG"
