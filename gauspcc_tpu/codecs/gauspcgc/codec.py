@@ -450,9 +450,10 @@ def compress_point_cloud(
 
     t0 = time.time()
     shift = xyz.min(axis=0)
-    xyz0 = np.unique(xyz - shift, axis=0).astype(np.int32)
+    xyz0 = sparse.dedupe_lex_np(xyz - shift)
 
-    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS,
+                                            sorted_unique=True)
     if geom == "device":
         streams, counts = _encode_levels_device(levels, params, config)
     else:
@@ -621,7 +622,7 @@ def _merge_clouds(clouds, posQ: float):
         xyz = xyz.astype(np.int64)
         s = xyz.min(axis=0)
         shifts.append(s)
-        uniq = np.unique(xyz - s, axis=0)
+        uniq = sparse.dedupe_lex_np(xyz - s)
         counts.append(uniq.shape[0])  # decoded (lossless) = unique voxels
         shifted.append(uniq)
     span = max(int(c.max()) + 1 for c in shifted)

@@ -105,8 +105,9 @@ def pyramid_batches(xyz_int: np.ndarray, kernel_size: int):
 
     Returns ([(geometry, gt_pad)] per coded level, n_points).
     """
-    xyz0 = np.unique(xyz_int - xyz_int.min(axis=0), axis=0).astype(np.int32)
-    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS)
+    xyz0 = sparse.dedupe_lex_np(xyz_int - xyz_int.min(axis=0))
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS,
+                                            sorted_unique=True)
     geos = _level_geometries(levels, kernel_size)
     out = []
     for d, g in enumerate(geos):

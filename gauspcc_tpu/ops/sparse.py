@@ -67,10 +67,36 @@ def lex_sort(coords: jax.Array, mask: jax.Array) -> jax.Array:
 # Occupancy pyramid (host, numpy)
 # ---------------------------------------------------------------------------
 
-def build_occupancy_pyramid(coords: np.ndarray, min_points: int = 64):
+def dedupe_lex_np(coords: np.ndarray) -> np.ndarray:
+    """Unique rows of a non-negative int [N, 3] array in (z, y, x) lex
+    order, via one int64 key sort + a linear diff scan — ~10x faster than
+    np.unique(axis=0) (which sorts a structured view) at 10^5+ rows."""
+    cur = np.asarray(coords).astype(np.int64)
+    if cur.shape[0] <= 1:
+        return cur
+    key = lex_key_np(cur, cur.max(axis=0) + 1)
+    order = np.argsort(key)  # introsort: input order is arbitrary and
+    # stability is not needed (equal keys are identical rows)
+    cur, key = cur[order], key[order]
+    keep = np.empty(cur.shape[0], bool)
+    keep[0] = True
+    np.not_equal(key[1:], key[:-1], out=keep[1:])
+    return cur[keep]
+
+
+def build_occupancy_pyramid(coords: np.ndarray, min_points: int = 64,
+                            sorted_unique: bool = False):
     """Dyadic downscale until fewer than `min_points` parents remain.
 
-    coords: non-negative int [N, 3], unique voxels.
+    coords: non-negative int [N, 3]; duplicates are merged (pass
+    sorted_unique=True when the caller already deduped, e.g. via
+    dedupe_lex_np, to skip that pass). Per level, "group children by
+    parent" is a stable int64-key argsort + diff scan + bitwise_or
+    reduceat — cheaper than np.unique(return_inverse) + ufunc.at, and the
+    argsort is adaptive (timsort): each level's parent keys are nearly
+    sorted already, because >>1 per axis only creates local inversions
+    where a coarser z/y tie exposes a lower-axis flip.
+
     Returns levels coarse->fine: list of (parent_coords int32 [Ni,3],
     occupancy uint8 [Ni]), each sorted in lex order (z major). The finest
     entry's children reconstruct the input; mirrors the data_ls built in
@@ -80,20 +106,23 @@ def build_occupancy_pyramid(coords: np.ndarray, min_points: int = 64):
     coords = np.asarray(coords)
     assert coords.ndim == 2 and coords.shape[1] == 3
     assert coords.min() >= 0, "shift coordinates to be non-negative first"
+    cur = (coords.astype(np.int64) if sorted_unique
+           else dedupe_lex_np(coords))
     levels = []
-    cur = coords.astype(np.int64)
     while True:
         parent = cur >> 1
         octant = (cur[:, 0] & 1) + 2 * (cur[:, 1] & 1) + 4 * (cur[:, 2] & 1)
         dims = parent.max(axis=0) + 1
         pkey = lex_key_np(parent, (dims[0], dims[1]))
-        uniq_key, inv = np.unique(pkey, return_inverse=True)
-        occ = np.zeros(uniq_key.shape[0], dtype=np.uint8)
-        np.bitwise_or.at(occ, inv, (1 << octant).astype(np.uint8))
-        # recover unique parent coords in key order (any occurrence works)
-        first = np.zeros(uniq_key.shape[0], dtype=np.int64)
-        first[inv] = np.arange(cur.shape[0])
-        pcoords = parent[first].astype(np.int32)
+        order = np.argsort(pkey, kind="stable")
+        pkey = pkey[order]
+        flags = np.empty(pkey.shape[0], bool)
+        flags[0] = True
+        np.not_equal(pkey[1:], pkey[:-1], out=flags[1:])
+        starts = np.flatnonzero(flags)
+        bits = (1 << octant).astype(np.uint8)[order]
+        occ = np.bitwise_or.reduceat(bits, starts)
+        pcoords = parent[order[starts]].astype(np.int32)
         levels.append((pcoords, occ))
         cur = pcoords.astype(np.int64)
         if cur.shape[0] < min_points or cur.shape[0] <= 1:

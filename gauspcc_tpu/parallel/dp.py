@@ -41,8 +41,9 @@ def pack_patch(xyz_int: np.ndarray, caps: list[int]):
     n_points scalar. Levels beyond the patch's pyramid are empty (masked).
     Raises if a level exceeds its capacity.
     """
-    xyz0 = np.unique(xyz_int - xyz_int.min(axis=0), axis=0).astype(np.int32)
-    levels = sparse.build_occupancy_pyramid(xyz0, min_points=64)
+    xyz0 = sparse.dedupe_lex_np(xyz_int - xyz_int.min(axis=0))
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=64,
+                                            sorted_unique=True)
     n_levels = len(caps)
     # keep the finest n_levels coded transitions (coarser ones are tiny)
     trans = [(levels[d], levels[d + 1]) for d in range(len(levels) - 1)]
