@@ -235,8 +235,17 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                     prepared=prepared,
                 )
                 step += 1
+                if step == step0 + 1:
+                    # heartbeat after the first (compile-heavy) step so the
+                    # outer stall watchdog sees progress before log_interval
+                    logger.info(
+                        f"step {step} first step done "
+                        f"({time.time() - t0:.1f}s incl. compiles)")
                 ema_bpp = bpp if ema_bpp is None else 0.95 * ema_bpp + 0.05 * bpp
-                if step % cfg.log_interval == 0:
+                if step % cfg.log_interval == 0 or (
+                        step - step0 <= 100 and step % 10 == 0):
+                    # the dense early cadence keeps train.log warm through
+                    # the per-shape-bucket compile storm of a fresh run
                     logger.info(
                         f"step {step} bpp {bpp:.4f} ema {ema_bpp:.4f} "
                         f"({(time.time()-t0)/max(step - step0, 1):.3f} s/step)"
