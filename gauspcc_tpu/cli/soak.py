@@ -186,7 +186,11 @@ def main(argv=None):
         # reached 27+ dB with a full-length clean phase)
         import dataclasses
 
-        b0 = max(args.iters // 10, min(1500, args.iters // 2))
+        # floor the clean phase at the reference's own absolute gate (3000,
+        # gaussian_renderer/__init__.py:51): r3z entered feature noise at
+        # 1501 with underdeveloped features and degraded from ~3600 on,
+        # still in phase 1 (runs/soak_hac_r3z.log)
+        b0 = max(args.iters // 10, min(3000, args.iters // 2))
         b1 = max(args.iters // 3, b0 + (args.iters - b0) // 3)
         fam = dataclasses.replace(
             fam, phase_of_step=lambda it: 0 if it <= b0 else

@@ -69,19 +69,48 @@ def _device_for(ccap: int):
     return accel
 
 
-_params_cache: dict = {}
+class _ParamsCache:
+    """Per-(params, device) copies of the network params.
+
+    Entries hold only WEAK references to the source leaves (VERDICT r3
+    weak #9): the cache neither pins a dead params tree in memory nor can
+    a GC-reused id alias a different live tree — a hit requires every
+    weakly-referenced leaf to still be the identical object."""
+
+    def __init__(self):
+        self._copies: dict = {}  # (leaf ids..., dev) -> (leaf refs, moved)
+
+    def get(self, params, dev):
+        import weakref
+
+        leaves = jax.tree_util.tree_leaves(params)
+        key = (tuple(id(x) for x in leaves), dev)
+        hit = self._copies.get(key)
+        if hit is not None and all(
+            r() is x for r, x in zip(hit[0], leaves)
+        ):
+            return hit[1]
+        try:
+            refs = tuple(weakref.ref(x) for x in leaves)
+        except TypeError:  # unweakrefable leaf type: skip memoization
+            return jax.device_put(params, dev)
+        # evict entries whose source tree died (their ids may be reused)
+        dead = [k for k, (rs, _) in self._copies.items()
+                if any(r() is None for r in rs)]
+        for k in dead:
+            del self._copies[k]
+        moved = jax.device_put(params, dev)
+        self._copies[key] = (refs, moved)
+        return moved
+
+
+_params_cache = _ParamsCache()
 
 
 def _params_on(params, dev):
     """Per-device copy of the network params (memoized; the handful of
     coarse levels share one CPU copy)."""
-    key = (id(params), dev)
-    hit = _params_cache.get(key)
-    if hit is not None and hit[0] is params:
-        return hit[1]
-    moved = jax.device_put(params, dev)
-    _params_cache[key] = (params, moved)
-    return moved
+    return _params_cache.get(params, dev)
 
 
 def _bucket(n: int, minimum: int = 256) -> int:

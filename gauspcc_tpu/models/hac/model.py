@@ -332,31 +332,51 @@ def generate_neural_gaussians(
             grid_offsets = uniform_noise_quant(
                 grid_offsets, ctx["q_offsets"][:, None, :], k3
             )
-            # rate estimate over all valid & mask-on & visible anchors
+            # rate estimate over all valid & mask-on & visible anchors.
+            # (The reference samples 5% of them, gaussian_renderer:73-96 —
+            # same expectation, lower variance here.) x_mean clamps must
+            # average over LIVE rows only: the capacity padding is zeros
+            # and would bias the clamp window toward 0.
             sel = (vis & mask_anchor)[:, None].astype(jnp.float32)
+            valid_f = state["valid"].astype(jnp.float32)[:, None]
+            n_live = jnp.maximum(jnp.sum(valid_f), 1.0)
+            feat_mean = jnp.sum(
+                anchors["anchor_feat"] * valid_f) / (n_live * cfg.feat_dim)
+            scaling_mean = jnp.sum(
+                get_scaling(state) * valid_f) / (n_live * 6)
+            offset_mean = jnp.sum(
+                anchors["offset"] * valid_f[:, :, None]) / (n_live * 3 * k)
             mask3 = jnp.repeat(binary_mask, 3, axis=-1).reshape(-1, 3 * k)
             bit_feat = entropy.gaussian_bits(
                 feat, ctx["mean"], ctx["scale"], ctx["q_feat"],
-                x_mean=jnp.mean(anchors["anchor_feat"]),
+                x_mean=feat_mean,
             ) * sel
             bit_scaling = entropy.gaussian_bits(
                 grid_scaling, ctx["mean_scaling"], ctx["scale_scaling"],
-                ctx["q_scaling"], x_mean=jnp.mean(get_scaling(state)),
+                ctx["q_scaling"], x_mean=scaling_mean,
             ) * sel
             bit_offsets = entropy.gaussian_bits(
                 grid_offsets.reshape(-1, 3 * k), ctx["mean_offsets"],
                 ctx["scale_offsets"], ctx["q_offsets"],
-                x_mean=jnp.mean(anchors["offset"]),
+                x_mean=offset_mean,
             ) * mask3 * sel
+            # reference scales the mean-bits by the mask-on fraction of
+            # visible anchors (mask_anchor_rate, gaussian_renderer:41,92-96):
+            # mask-off anchors ship no attribute bits
+            n_vis = jnp.maximum(jnp.sum(vis.astype(jnp.float32)), 1.0)
+            mask_anchor_rate = jnp.sum(sel) / n_vis
             denom = jnp.maximum(jnp.sum(sel), 1.0)
             rate = {
-                "bit_per_feat_param": jnp.sum(bit_feat) / (denom * cfg.feat_dim),
-                "bit_per_scaling_param": jnp.sum(bit_scaling) / (denom * 6),
-                "bit_per_offsets_param": jnp.sum(bit_offsets) / (denom * 3 * k),
+                "bit_per_feat_param": jnp.sum(bit_feat)
+                / (denom * cfg.feat_dim) * mask_anchor_rate,
+                "bit_per_scaling_param": jnp.sum(bit_scaling)
+                / (denom * 6) * mask_anchor_rate,
+                "bit_per_offsets_param": jnp.sum(bit_offsets)
+                / (denom * 3 * k) * mask_anchor_rate,
             }
             rate["bit_per_param"] = (
                 jnp.sum(bit_feat) + jnp.sum(bit_scaling) + jnp.sum(bit_offsets)
-            ) / (denom * (cfg.feat_dim + 6 + 3 * k))
+            ) / (denom * (cfg.feat_dim + 6 + 3 * k)) * mask_anchor_rate
 
     ob_view = anchor - camera_center[None, :]
     ob_dist = jnp.linalg.norm(ob_view, axis=1, keepdims=True) + 1e-9

@@ -172,7 +172,15 @@ def make_train_step(cfg, rcfg: raster.RasterConfig,
             jnp.float32
         )
         update_filter = aux["g_valid"] & (aux["radii"] > 0)
-        gnorm = jnp.linalg.norm(g_m2d, axis=-1, keepdims=True)
+        # our rasterizer's screen positions are in PIXELS; the reference's
+        # viewspace grads are NDC-scaled by half-resolution (3DGS CUDA
+        # backward: ddelx_dx = 0.5*W), and densify_grad_threshold=0.0002 is
+        # tuned for that scale. Without this factor the accumulated norms
+        # are ~W/2 smaller than the threshold expects and anchor growth
+        # never fires (observed: +0 anchors for 6k iters, runs/soak_hac_r3z)
+        ndc_scale = jnp.asarray(
+            [0.5 * rcfg.width, 0.5 * rcfg.height], jnp.float32)
+        gnorm = jnp.linalg.norm(g_m2d * ndc_scale, axis=-1, keepdims=True)
         stats["offset_gradient_accum"] = stats["offset_gradient_accum"] + jnp.where(
             update_filter[:, None], gnorm, 0.0
         )

@@ -33,6 +33,13 @@ for attempt in $(seq 1 40); do
     echo "=== codec train done (attempt $attempt) ===" >> "$LOG"
     exit 0
   fi
+  # Permanent (deterministic) failures must not be retried: round 3 burned
+  # ~45 min re-proving the same compile-time HBM OOM 15 times. Transient
+  # tunnel/backend outages do not produce these strings.
+  if tail -c 200000 "$LOG" | grep -qE "compile permanent error|Ran out of memory in memory space|RESOURCE_EXHAUSTED"; then
+    echo "=== permanent compile/OOM error; aborting (no retry) ===" >> "$LOG"
+    exit 2
+  fi
   echo "=== exited $code; retry in 60s ===" >> "$LOG"
   sleep 60
 done
