@@ -321,6 +321,93 @@ def level_bits_packed(params: Params, config: NetConfig, parent_occ,
     return _staged_bits(params, feats, c_nmap, child_mask, gt_child_occ)
 
 
+# ---------------------------------------------------------------------------
+# sibling-packed level forward (ops/sibconv.py) — the fast training path
+# ---------------------------------------------------------------------------
+
+def _conv_stack_sib(p, feats, gmapT, gmapfT, slotmask):
+    """conv + 2 ResNets over the sibling-packed layout; numerically equal
+    to _conv_stack at valid voxels (tests/test_sibconv.py)."""
+    from gauspcc_tpu.ops import sibconv
+
+    conv = lambda q, f: sibconv.sibconv_apply(
+        f, gmapT, gmapfT, q["w"], q["b"], slotmask=slotmask)
+    h = jax.nn.relu(conv(p["conv"], feats))
+    r = p["res0"]
+    h1 = jax.nn.relu(h + conv(r["conv1"], jax.nn.relu(conv(r["conv0"], h))))
+    r = p["res1"]
+    return jax.nn.relu(h1 + conv(r["conv1"], jax.nn.relu(conv(r["conv0"], h1))))
+
+
+def _spatial_sib(p, feats, gmapT, gmapfT, slotmask):
+    from gauspcc_tpu.ops import sibconv
+
+    conv = lambda q, f: sibconv.sibconv_apply(
+        f, gmapT, gmapfT, q["w"], q["b"], slotmask=slotmask)
+    return conv(p["conv1"], jax.nn.relu(conv(p["conv0"], feats)))
+
+
+def level_bits_sib(params: Params, config: NetConfig,
+                   pocc_packed, pslotmask, p_gmapT, p_gmapfT,
+                   parent_pos, c_gmapT, c_gmapfT, c_slotmask, gt_packed):
+    """Training bits for one level over sibling-packed geometry.
+
+    pocc_packed int32 [Gp*8]: parent occupancy bytes in the parents' own
+    sibling packing (grouped by grandparent cell); pslotmask bool [Gp*8].
+    p_gmapT/p_gmapfT int32 [Gp, 27]: grandparent-cell neighbor map + flip.
+    parent_pos int32 [Pcap]: row of parent voxel i inside the packed
+    parent layout (pad rows may alias row 0; they are never read through
+    valid children).
+    c_gmapT/c_gmapfT int32 [Pcap, 27]: parent-cell neighbor map for the
+    children (a child's k<=5 neighborhood spans the 27 cells around its
+    parent voxel); c_slotmask bool [Pcap*8] = parent occupancy bits;
+    gt_packed int32 [Pcap*8] = child occupancy bytes at (parent, octant).
+
+    Returns (total_bits, n_valid_children) == level_bits_packed on the
+    same level (different packing, same network).
+    """
+    dt = config.compute_dtype
+    pf = params["prior_embedding"][jnp.clip(pocc_packed.astype(jnp.int32),
+                                            0, 255)]
+    pf = jnp.where(pslotmask[:, None], pf, 0.0).astype(dt)
+    pf = _conv_stack_sib(params["prior_resnet"], pf, p_gmapT, p_gmapfT,
+                         pslotmask)
+
+    pcap = parent_pos.shape[0]
+    pf_vox = pf[jnp.clip(parent_pos, 0, pf.shape[0] - 1)]  # [Pcap, C]
+    cf = (pf_vox[:, None, :]
+          + params["target_embedding"][None, :, :].astype(dt)).reshape(
+              pcap * 8, -1)
+    cf = jnp.where(c_slotmask[:, None], cf, 0).astype(dt)
+    cf = _conv_stack_sib(params["target_resnet"], cf, c_gmapT, c_gmapfT,
+                         c_slotmask)
+
+    s0, s1, s2, s3 = split_occupancy(gt_packed)
+    total = 0.0
+    prev = jnp.zeros_like(s0)
+    for stage, gt in enumerate((s0, s1, s2, s3)):
+        f = cf
+        if stage > 0:
+            table = params[f"cond_emb_s{stage}"]
+            f = f + jnp.where(
+                c_slotmask[:, None],
+                table[jnp.clip(prev, 0, table.shape[0] - 1)].astype(f.dtype),
+                0)
+        h = _spatial_sib(params[f"spatial_s{stage}"], f, c_gmapT, c_gmapfT,
+                         c_slotmask)
+        probs = _head(params[f"head_s{stage}"], h)
+        p = jnp.take_along_axis(probs, gt[:, None], axis=-1)[:, 0]
+        bits = jnp.clip(-jnp.log2(p + 1e-10), 0.0, 50.0)
+        total = total + jnp.sum(jnp.where(c_slotmask, bits, 0.0))
+        if stage == 0:
+            prev = gt
+        elif stage == 1:
+            prev = prev * 2 + gt
+        elif stage == 2:
+            prev = prev * 4 + gt
+    return total, jnp.sum(c_slotmask)
+
+
 def _staged_bits(params, feats, nmap, mask, gt_child_occ):
     s0, s1, s2, s3 = split_occupancy(gt_child_occ)
     total = 0.0

@@ -99,6 +99,124 @@ def make_update_fn(optimizer):
     return update
 
 
+class SibLevel:
+    """Device arrays for one coded level in sibling-packed layout."""
+
+    __slots__ = ("pocc", "pmask", "p_gmapT", "p_gmapfT", "ppos",
+                 "c_gmapT", "c_gmapfT", "cmask", "gt")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _sib_pos(child_coords: np.ndarray, parent_coords: np.ndarray):
+    """Packed row (parent_row*8 + octant) of each child voxel.
+
+    Both arrays lex-sorted (z major); every child>>1 must be present in
+    parent_coords."""
+    from gauspcc_tpu.ops import sparse as sp
+
+    dims = parent_coords.max(axis=0) + 1
+    pkey = sp.lex_key_np(parent_coords, dims)
+    ckey = sp.lex_key_np(child_coords >> 1, dims)
+    pidx = np.searchsorted(pkey, ckey)
+    oct_ = ((child_coords[:, 0] & 1) + 2 * (child_coords[:, 1] & 1)
+            + 4 * (child_coords[:, 2] & 1))
+    return (pidx * 8 + oct_).astype(np.int64)
+
+
+def pyramid_batches_sib(xyz_int: np.ndarray, kernel_size: int):
+    """Host prep for the sibling-packed training path (ops/sibconv.py).
+
+    Builds ONE k=3 cell-neighbor map per pyramid level (shared between
+    that level's children and the next level's parents) plus the packed
+    occupancy/gt scatters. Far less host work than the per-voxel k^2
+    window maps of :func:`pyramid_batches`, and the resulting device
+    programs are MXU matmuls instead of 125-tap row gathers.
+
+    Returns ([SibLevel] per coded level, n_points).
+    """
+    from gauspcc_tpu.codecs.gauspcgc.codec import _bucket
+    from gauspcc_tpu.ops import hostmap, sparse
+
+    xyz0 = sparse.dedupe_lex_np(xyz_int - xyz_int.min(axis=0))
+    levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS,
+                                            sorted_unique=True)
+    n_levels = len(levels)
+    caps = [_bucket(levels[d][0].shape[0]) for d in range(n_levels)]
+    gmaps = [hostmap.build_map(levels[d][0], levels[d][0].shape[0], 3,
+                               ncap=caps[d])
+             for d in range(n_levels - 1)]  # finest level needs no own map
+
+    # grandparent grouping of the coarsest (base) level
+    base = levels[0][0].astype(np.int64)
+    groups0 = sparse.dedupe_lex_np(base >> 1).astype(np.int32)
+    g0cap = _bucket(groups0.shape[0])
+    gmap0 = hostmap.build_map(groups0, groups0.shape[0], 3, ncap=g0cap)
+
+    def put_map(m):
+        t = jnp.asarray(m.T)  # [cap, 27]
+        return t, t[:, ::-1]
+
+    out = []
+    for d in range(n_levels - 1):
+        pcoords, pocc = levels[d]
+        nd, cap = pcoords.shape[0], caps[d]
+        if d == 0:
+            gp_coords, gp_cap, gp_map = groups0, g0cap, gmap0
+        else:
+            gp_coords, gp_cap, gp_map = (levels[d - 1][0], caps[d - 1],
+                                         gmaps[d - 1])
+        pos = _sib_pos(pcoords.astype(np.int64), gp_coords.astype(np.int64))
+        pocc_packed = np.zeros(gp_cap * 8, np.int32)
+        pocc_packed[pos] = pocc
+        pmask = np.zeros(gp_cap * 8, bool)
+        pmask[pos] = True
+
+        cmask = np.zeros(cap * 8, bool)
+        bits = (pocc[:, None] >> np.arange(8)[None, :]) & 1
+        cmask[: nd * 8] = bits.astype(bool).reshape(-1)
+
+        ccoords, cocc = levels[d + 1]
+        cpos = _sib_pos(ccoords.astype(np.int64), pcoords.astype(np.int64))
+        gt_packed = np.zeros(cap * 8, np.int32)
+        gt_packed[cpos] = cocc
+
+        ppos = np.zeros(cap, np.int64)
+        ppos[:nd] = pos
+        p_gmapT, p_gmapfT = put_map(gp_map)
+        c_gmapT, c_gmapfT = put_map(gmaps[d])
+        out.append(SibLevel(
+            pocc=jnp.asarray(pocc_packed), pmask=jnp.asarray(pmask),
+            p_gmapT=p_gmapT, p_gmapfT=p_gmapfT,
+            ppos=jnp.asarray(ppos.astype(np.int32)),
+            c_gmapT=c_gmapT, c_gmapfT=c_gmapfT,
+            cmask=jnp.asarray(cmask), gt=jnp.asarray(gt_packed)))
+    return out, xyz0.shape[0]
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _level_bits_sib(params, config, pocc, pmask, p_gmapT, p_gmapfT, ppos,
+                    c_gmapT, c_gmapfT, cmask, gt):
+    bits, _ = model.level_bits_sib(
+        params, config, pocc, pmask, p_gmapT, p_gmapfT, ppos,
+        c_gmapT, c_gmapfT, cmask, gt)
+    return bits
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _level_bits_sib_grad(params, config, pocc, pmask, p_gmapT, p_gmapfT,
+                         ppos, c_gmapT, c_gmapfT, cmask, gt):
+    def f(p):
+        return model.level_bits_sib(
+            p, config, pocc, pmask, p_gmapT, p_gmapfT, ppos,
+            c_gmapT, c_gmapfT, cmask, gt)
+
+    (bits, n), grads = jax.value_and_grad(f, has_aux=True)(params)
+    return bits, n, grads
+
+
 def pyramid_batches(xyz_int: np.ndarray, kernel_size: int):
     """Host prep: shift, dedupe, pyramid, native child/neighbor-map build
     (ops/hostmap.py — the same geometry path the codec uses).
@@ -118,14 +236,37 @@ def pyramid_batches(xyz_int: np.ndarray, kernel_size: int):
     return out, xyz0.shape[0]
 
 
-def cloud_bits(params, net_cfg, xyz_int: np.ndarray) -> tuple[float, int]:
-    """Teacher-forced total bits for a whole cloud (validation metric)."""
-    batches, n_points = pyramid_batches(xyz_int, net_cfg.kernel_size)
-    total = None
-    for g, gt in batches:
-        bits = _level_bits(
+def _batch_bits(params, net_cfg, b):
+    if isinstance(b, tuple):
+        g, gt = b
+        return _level_bits(
             params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
             g.child_mask, g.c_map, gt)
+    return _level_bits_sib(
+        params, net_cfg, b.pocc, b.pmask, b.p_gmapT, b.p_gmapfT, b.ppos,
+        b.c_gmapT, b.c_gmapfT, b.cmask, b.gt)
+
+
+def _batch_bits_grad(params, net_cfg, b):
+    if isinstance(b, tuple):
+        g, gt = b
+        return _level_bits_grad(
+            params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
+            g.child_mask, g.c_map, gt)
+    return _level_bits_sib_grad(
+        params, net_cfg, b.pocc, b.pmask, b.p_gmapT, b.p_gmapfT, b.ppos,
+        b.c_gmapT, b.c_gmapfT, b.cmask, b.gt)
+
+
+def cloud_bits(params, net_cfg, xyz_int: np.ndarray,
+               prepared=None) -> tuple[float, int]:
+    """Teacher-forced total bits for a whole cloud (validation metric)."""
+    batches, n_points = (prepared if prepared is not None
+                         else pyramid_batches_sib(xyz_int,
+                                                  net_cfg.kernel_size))
+    total = None
+    for b in batches:
+        bits = _batch_bits(params, net_cfg, b)
         total = bits if total is None else total + bits
     return float(total), n_points
 
@@ -134,19 +275,18 @@ def train_step(params, opt_state, update_fn, net_cfg, xyz_int: np.ndarray,
                zero_grads, prepared=None):
     """One step on one patch: accumulate level grads, apply Adam update.
 
-    `prepared`: optional (batches, n_points) from pyramid_batches — the
-    trainer caches these per patch so steady-state steps are pure device
-    compute (no host geometry rebuild / re-upload).
-    Returns (params, opt_state, bpp).
+    `prepared`: optional (batches, n_points) from pyramid_batches_sib (or
+    the legacy pyramid_batches) — the trainer caches these per patch so
+    steady-state steps are pure device compute (no host geometry rebuild
+    or re-upload). Returns (params, opt_state, bpp).
     """
     batches, n_points = (prepared if prepared is not None
-                         else pyramid_batches(xyz_int, net_cfg.kernel_size))
+                         else pyramid_batches_sib(xyz_int,
+                                                  net_cfg.kernel_size))
     grads = zero_grads
     total_bits = None
-    for g, gt in batches:
-        bits, _, grad = _level_bits_grad(
-            params, net_cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
-            g.child_mask, g.c_map, gt)
+    for b in batches:
+        bits, _, grad = _batch_bits_grad(params, net_cfg, b)
         grads = _accumulate(grads, grad)
         # accumulate on device: a float() here would block once per level
         # (a full tunnel round-trip each), serializing the level pipeline
@@ -225,7 +365,8 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                     ckey, xyz = dataset.sample_with_key(idx)
                     prepared = geo_cache.get(ckey)
                     if prepared is None:
-                        prepared = pyramid_batches(xyz, cfg.net.kernel_size)
+                        prepared = pyramid_batches_sib(xyz,
+                                                       cfg.net.kernel_size)
                         if len(geo_cache) < geo_cache_size:
                             geo_cache[ckey] = prepared
                 else:
@@ -259,17 +400,14 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                 if val_dataset is not None and step % cfg.val_interval == 0:
                     if val_cache is None:
                         val_cache = [
-                            pyramid_batches(val_dataset.get(vi),
-                                            cfg.net.kernel_size)
+                            pyramid_batches_sib(val_dataset.get(vi),
+                                                cfg.net.kernel_size)
                             for vi in range(len(val_dataset))
                         ]
                     vb, vn = None, 0
                     for batches, n in val_cache:
-                        for g, gt in batches:
-                            b = _level_bits(
-                                params, cfg.net, g.po, g.pm, g.p_map,
-                                g.octant, g.parent_idx, g.child_mask,
-                                g.c_map, gt)
+                        for lv in batches:
+                            b = _batch_bits(params, cfg.net, lv)
                             vb = b if vb is None else vb + b
                         vn += n
                     vb = float(vb)  # one device sync for the whole val set

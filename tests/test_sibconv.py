@@ -1,0 +1,159 @@
+"""Sibling-packed conv (ops/sibconv.py): numeric equivalence with the
+generic gather-MM conv and with the legacy level program, incl. gradients.
+
+The packed form is the training/codec hot path on TPU; these tests pin it
+to the reference semantics (torchsparse spnn.Conv3d, GausPcgc/kit/nn.py)
+via the already-validated ops/sparse.py implementation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gauspcc_tpu.ops import hostmap, sibconv, sparse
+
+pytestmark = pytest.mark.smoke
+
+
+def _rand_voxels(rng, n, span=40):
+    pts = rng.integers(0, span, (n, 3))
+    return sparse.dedupe_lex_np(pts).astype(np.int32)
+
+
+def _pack(coords):
+    """Host packing of an arbitrary lex-sorted voxel set by parent cell."""
+    groups = sparse.dedupe_lex_np(coords.astype(np.int64) >> 1).astype(
+        np.int32)
+    dims = groups.max(axis=0) + 1
+    gkey = sparse.lex_key_np(groups, dims)
+    ckey = sparse.lex_key_np(coords >> 1, dims)
+    gidx = np.searchsorted(gkey, ckey)
+    oct_ = ((coords[:, 0] & 1) + 2 * (coords[:, 1] & 1)
+            + 4 * (coords[:, 2] & 1))
+    pos = gidx * 8 + oct_
+    gmap = hostmap.build_map(groups, groups.shape[0], 3)
+    slotmask = np.zeros(groups.shape[0] * 8, bool)
+    slotmask[pos] = True
+    return groups, pos, slotmask, gmap
+
+
+@pytest.mark.parametrize("kernel_size", [3, 5])
+def test_sibconv_matches_dense_conv(kernel_size):
+    rng = np.random.default_rng(0)
+    coords = _rand_voxels(rng, 900)
+    n = coords.shape[0]
+    cin, cout = 16, 16
+    w = jnp.asarray(rng.standard_normal(
+        (kernel_size**3, cin, cout)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(cout).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((n, cin)).astype(np.float32))
+
+    dense_idx = hostmap.build_map(coords, n, kernel_size)
+    nmap = sparse.nmap_from_host(jnp.asarray(dense_idx))
+    ref = sparse.sparse_conv_apply(feats, nmap, w, b)
+
+    groups, pos, slotmask, gmap = _pack(coords)
+    x = jnp.zeros((groups.shape[0] * 8, cin), jnp.float32)
+    x = x.at[jnp.asarray(pos)].set(feats)
+    gmapT = jnp.asarray(gmap.T)
+    out = sibconv.sibconv_apply(x, gmapT, gmapT[:, ::-1], w, b,
+                                slotmask=jnp.asarray(slotmask))
+    got = out[jnp.asarray(pos)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sibconv_grads_match_dense_conv():
+    rng = np.random.default_rng(1)
+    coords = _rand_voxels(rng, 400, span=24)
+    n = coords.shape[0]
+    cin = cout = 8
+    k = 5
+    w0 = rng.standard_normal((k**3, cin, cout)).astype(np.float32) * 0.2
+    feats0 = rng.standard_normal((n, cin)).astype(np.float32)
+    tgt = rng.standard_normal((n, cout)).astype(np.float32)
+
+    dense_idx = hostmap.build_map(coords, n, k)
+    nmap = sparse.nmap_from_host(jnp.asarray(dense_idx))
+    groups, pos, slotmask, gmap = _pack(coords)
+    gmapT = jnp.asarray(gmap.T)
+    gmapfT = gmapT[:, ::-1]
+    posj = jnp.asarray(pos)
+    smask = jnp.asarray(slotmask)
+
+    def loss_dense(w, feats):
+        out = sparse.sparse_conv_apply(feats, nmap, w)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_sib(w, feats):
+        x = jnp.zeros((groups.shape[0] * 8, cin), jnp.float32)
+        x = x.at[posj].set(feats)
+        out = sibconv.sibconv_apply(x, gmapT, gmapfT, w, slotmask=smask)
+        return jnp.sum((out[posj] - tgt) ** 2)
+
+    gd = jax.grad(loss_dense, argnums=(0, 1))(jnp.asarray(w0),
+                                              jnp.asarray(feats0))
+    gs = jax.grad(loss_sib, argnums=(0, 1))(jnp.asarray(w0),
+                                            jnp.asarray(feats0))
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gd[0]),
+                               rtol=3e-3, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gd[1]),
+                               rtol=3e-3, atol=3e-3)
+
+
+def test_level_bits_sib_matches_packed():
+    """The sib-packed level program returns the same training bits as the
+    legacy window-map level program (same params, same cloud)."""
+    from gauspcc_tpu.codecs.gauspcgc import model
+    from gauspcc_tpu.codecs.gauspcgc import train as ctrain
+
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 160, (40, 3))
+    pts = np.repeat(base, 40, axis=0) + rng.integers(-6, 7, (1600, 3))
+    pts = np.clip(pts, 0, None)
+    pts = sparse.dedupe_lex_np(pts).astype(np.int64)
+
+    cfg = model.NetConfig(channels=16, kernel_size=5, dtype="f32")
+    params = model.init_params(jax.random.PRNGKey(0), cfg)
+
+    legacy, n1 = ctrain.pyramid_batches(np.asarray(pts), cfg.kernel_size)
+    sib, n2 = ctrain.pyramid_batches_sib(np.asarray(pts), cfg.kernel_size)
+    assert n1 == n2
+    assert len(legacy) == len(sib)
+    for (g, gt), lv in zip(legacy, sib):
+        b_old, n_old = model.level_bits_packed(
+            params, cfg, g.po, g.pm, g.p_map, g.octant, g.parent_idx,
+            g.child_mask, g.c_map, gt)
+        b_new, n_new = model.level_bits_sib(
+            params, cfg, lv.pocc, lv.pmask, lv.p_gmapT, lv.p_gmapfT,
+            lv.ppos, lv.c_gmapT, lv.c_gmapfT, lv.cmask, lv.gt)
+        assert int(n_old) == int(n_new)
+        np.testing.assert_allclose(float(b_new), float(b_old),
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_train_step_sib_runs_and_decreases_bpp():
+    from gauspcc_tpu.codecs.gauspcgc import model
+    from gauspcc_tpu.codecs.gauspcgc import train as ctrain
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 120, (30, 3))
+    pts = np.repeat(base, 30, axis=0) + rng.integers(-5, 6, (900, 3))
+    pts = np.clip(pts, 0, None).astype(np.int64)
+
+    cfg = ctrain.TrainConfig(channels=16, kernel_size=3,
+                             model_dir="/tmp/sibtrain")
+    params = model.init_params(jax.random.PRNGKey(0), cfg.net)
+    opt = ctrain.make_optimizer(cfg)
+    opt_state = opt.init(params)
+    upd = ctrain.make_update_fn(opt)
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    prepared = ctrain.pyramid_batches_sib(pts, cfg.net.kernel_size)
+    bpps = []
+    for _ in range(8):
+        params, opt_state, bpp = ctrain.train_step(
+            params, opt_state, upd, cfg.net, None, zero, prepared=prepared)
+        bpps.append(bpp)
+    assert np.isfinite(bpps).all()
+    assert bpps[-1] < bpps[0]
