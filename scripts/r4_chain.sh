@@ -1,0 +1,42 @@
+#!/bin/bash
+# Round-4 TPU job chain. One chip — heavy jobs strictly sequential (a
+# second JAX process OOMs while a 512px soak holds HBM, observed r3):
+#   1. wait for the running HAC 30k soak wrapper (pid file) to exit
+#   2. codec training on the sibling-packed path (model/gauspcgc_r4),
+#      wall-clock capped so the family soaks still get chip time; the
+#      trainer snapshots full state every 1000 steps so a later resume
+#      continues losslessly
+#   3. HAC++ / TC-GS / CAT-3DGS soaks at the textured-scene recipe with
+#      the freshest codec checkpoint
+#   4. a full bench pass (primes the XLA compile cache for the driver's
+#      end-of-round bench run and records the numbers for BASELINE.md)
+set -u
+cd /root/repo
+LOG=/tmp/r4_chain.log
+echo "=== chain start $(date -u +%FT%TZ) ===" >> "$LOG"
+
+SOAK_PID=$(cat /tmp/soak_r4.pid 2>/dev/null || echo "")
+if [ -n "$SOAK_PID" ]; then
+  while kill -0 "$SOAK_PID" 2>/dev/null; do sleep 30; done
+fi
+echo "=== hac soak finished $(date -u +%FT%TZ) ===" >> "$LOG"
+
+timeout 9000 bash scripts/codec_train_loop.sh model/gauspcgc_r4 \
+  --training_data 'data/pcc_corpus_r4/train/*.npy' \
+  --val_data 'data/pcc_corpus_r4/val/*.npy' \
+  --max_steps 30000 --lr_decay_steps 11000,24500 \
+  --val_interval 500 --geo_cache 128
+echo "=== codec train finished rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
+
+PCC_CKPT=model/gauspcgc/best_model.npz
+if [ -f model/gauspcgc_r4/best_model.npz ]; then PCC_CKPT=model/gauspcgc_r4/best_model.npz; fi
+for fam in hac_plus tcgs cat3dgs; do
+  timeout 6000 bash scripts/soak_loop.sh "runs/soak_${fam}_r4" \
+    --model "$fam" --iters 9000 --hw 512 --cams 64 --scene textured \
+    --pcc_ckpt "$PCC_CKPT"
+  echo "=== $fam soak finished rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
+done
+
+timeout 1200 python bench.py > BENCH_r4_preview.json 2>/tmp/bench_preview.err
+echo "=== bench preview rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
+echo "=== chain done $(date -u +%FT%TZ) ===" >> "$LOG"
