@@ -101,6 +101,27 @@ def bench_codec(extra: dict, params, cfg, pts) -> float:
     return n / (min(enc_times) + min(dec_times))
 
 
+def bench_codec_hostgeom(extra: dict, params, cfg, pts) -> None:
+    """v2 host-window-map engine, for comparison with the default (sib)."""
+    from gauspcc_tpu.codecs.gauspcgc import codec
+
+    n = pts.shape[0]
+    tmp = "/tmp/gauspcc_bench_host.bin"
+    codec.compress_point_cloud(pts, params, tmp, config=cfg, geom="host")
+    codec.decompress_point_cloud(tmp, params, config=cfg)  # warm-up
+    enc_t, dec_t = [], []
+    for _ in range(2):
+        t0 = time.time()
+        codec.compress_point_cloud(pts, params, tmp, config=cfg, geom="host")
+        enc_t.append(time.time() - t0)
+        t0 = time.time()
+        dd = codec.decompress_point_cloud(tmp, params, config=cfg)
+        dec_t.append(time.time() - t0)
+    assert dd["num_points"] == n
+    extra["codec_enc_pps_hostgeom"] = round(n / min(enc_t), 1)
+    extra["codec_dec_pps_hostgeom"] = round(n / min(dec_t), 1)
+
+
 def bench_codec_devgeom(extra: dict, params, cfg, pts) -> float:
     """v3 device-geometry mode: the pyramid is rebuilt on the accelerator,
     so decode ships only rANS words over the link (codec.py v3 block)."""
@@ -334,6 +355,7 @@ def main():
 
     # (name, estimated cold cost s, fn) — most valuable first
     axes = [
+        ("hostgeom", 90, lambda: bench_codec_hostgeom(extra, params, cfg, pts)),
         ("devgeom", 90, lambda: bench_codec_devgeom(extra, params, cfg, pts)),
         ("batch", 120, lambda: bench_codec_batch(extra, params, cfg)),
         ("profile", 30, lambda: bench_codec_profile(

@@ -31,12 +31,16 @@ import jax
 import jax.numpy as jnp
 
 from gauspcc_tpu.core import bitstream, cdf as cdf_lib
-from gauspcc_tpu.ops import hostmap, rans, sparse
+from gauspcc_tpu.ops import hostmap, rans, sibconv, sparse
 from gauspcc_tpu.codecs.gauspcgc import model as net
 
 MAGIC = 0x47504354  # 'GPCT'
 VERSION = 2  # v2: per-level fused rANS streams (one stream per level)
 VERSION_DEVICE = 3  # v3: device-built geometry, counts in header
+VERSION_SIB = 4  # v4: sibling-packed conv engine (ops/sibconv.py); same
+# framing as v2 — the version byte only pins which engine computed the
+# CDF tables, since bf16 reductions in a different layout round
+# differently and the decoder must reproduce the encoder's tables exactly
 MIN_BASE_POINTS = 64
 
 # Heterogeneous level placement: pyramid levels below this child capacity
@@ -245,6 +249,204 @@ class _LevelGeometry:
         return wmap
 
 
+@partial(jax.jit, static_argnames=("config",))
+def _context_sib(params, config, pocc, pmask, p_gmapT, p_gmapfT, ppos,
+                 c_gmapT, c_gmapfT, cmask8):
+    """Shared sib-engine context program (encode and decode both run THIS
+    program on the same inputs -> bit-identical features)."""
+    return net.sib_context(params, config, pocc, pmask, p_gmapT, p_gmapfT,
+                           ppos, c_gmapT, c_gmapfT, cmask8)
+
+
+@partial(jax.jit, static_argnames=("stage",))
+def _stage_cdf_sib(params, stage, cf, c_gmapT, c_gmapfT, cmask8,
+                   prev_lex, cpos, inv):
+    """Per-stage CDF tables in LEX (coded) order from packed features.
+
+    prev_lex int32 [ccap]: previously (de)coded symbols in coded order;
+    inv int32 [Pcap*8]: lex row of each packed slot (0 on empty slots,
+    masked inside); cpos int32 [ccap]: packed slot of each coded child."""
+    prev_packed = prev_lex[inv]
+    probs = net.sib_stage_probs(params, stage, cf, c_gmapT, c_gmapfT,
+                                cmask8, prev_packed)
+    return cdf_lib.probs_to_cdf_int16(probs[cpos])
+
+
+class _SibLevelGeometry:
+    """Host-built sibling-packed geometry of one pyramid level.
+
+    Uploads ONE k=3 cell map per voxel set ([cap, 27] int32, ~23 B/point)
+    instead of the k^2-row window maps (~150 B/point) — and the conv it
+    feeds is the MXU-shaped sibconv (ops/sibconv.py). The coded symbol
+    order stays the v2 lex order: tables are gathered back through `cpos`,
+    so only the version byte changes, not the framing."""
+
+    def __init__(self, p_coords, p_occ, n_child: int,
+                 parent_gmap_dev=None, prof=None):
+        t0 = time.time()
+        np_ = p_coords.shape[0]
+        pcap = _bucket(np_)
+        self.n_parents = np_
+        self.n_child = n_child
+        self.ccap = min(_bucket(n_child), pcap * 8)
+        self.device = _device_for(self.ccap)
+        put = partial(jax.device_put, device=self.device)
+
+        cc, octant, parent_idx, n = hostmap.expand_children(
+            p_coords, p_occ.astype(np.uint8), self.ccap)
+        assert n == n_child, f"child count mismatch: {n} vs {n_child}"
+        self.child_coords = cc  # host copy (decode output / next parents)
+        cpos = parent_idx.astype(np.int64) * 8 + octant
+        cpos[n:] = 0
+        inv = np.zeros(pcap * 8, np.int32)
+        inv[cpos[:n]] = np.arange(n, dtype=np.int32)
+
+        groups = sparse.dedupe_lex_np(
+            p_coords.astype(np.int64) >> 1).astype(np.int32)
+        gpcap = _bucket(groups.shape[0])
+        pos = sibconv.sib_pos_np(p_coords, groups)
+        pocc_packed = np.zeros(gpcap * 8, np.int32)
+        pocc_packed[pos] = p_occ
+        pmask = np.zeros(gpcap * 8, bool)
+        pmask[pos] = True
+        ppos = np.zeros(pcap, np.int32)
+        ppos[:np_] = pos
+        cmask8 = np.zeros(pcap * 8, bool)
+        bits = (np.asarray(p_occ, np.uint16)[:, None]
+                >> np.arange(8)[None, :]) & 1
+        cmask8[: np_ * 8] = bits.astype(bool).reshape(-1)
+
+        if prof is not None:
+            prof["host_s"] = prof.get("host_s", 0.0) + time.time() - t0
+
+        self.cpos = put(cpos.astype(np.int32))
+        self.inv = put(inv)
+        self.pocc = put(pocc_packed)
+        self.pmask = put(pmask)
+        self.ppos = put(ppos)
+        self.cmask8 = put(cmask8)
+        self.child_mask = put(np.arange(self.ccap) < n_child)
+
+        if parent_gmap_dev is not None and parent_gmap_dev.shape[0] == gpcap:
+            # groups of this level's parents ARE the previous level's
+            # parent voxels (every voxel has >=1 child), so the previous
+            # level's child-cell map is this level's parent-cell map
+            self.p_gmapT = parent_gmap_dev
+        else:
+            self.p_gmapT = self._upload_gmap(groups, gpcap, put, prof)
+        self.p_gmapfT = self.p_gmapT[:, ::-1]
+        self.c_gmapT = self._upload_gmap(p_coords, pcap, put, prof)
+        self.c_gmapfT = self.c_gmapT[:, ::-1]
+
+    @staticmethod
+    def _upload_gmap(coords, cap, put, prof=None):
+        t0 = time.time()
+        gmap = hostmap.build_map(np.ascontiguousarray(coords, np.int32),
+                                 coords.shape[0], 3, ncap=cap)
+        gmapT = np.ascontiguousarray(gmap.T)
+        if prof is not None:
+            prof["host_s"] = prof.get("host_s", 0.0) + time.time() - t0
+            t0 = time.time()
+        dev = put(gmapT)
+        if prof is not None:
+            dev.block_until_ready()
+            prof["upload_s"] = prof.get("upload_s", 0.0) + time.time() - t0
+            prof["upload_bytes"] = prof.get("upload_bytes", 0) + gmapT.nbytes
+        return dev
+
+
+def _encode_levels_sib(levels, params, config: net.NetConfig):
+    """Sib-engine encoder core; v2 framing, VERSION_SIB tables."""
+    pending = []
+    carry_gmap = None
+    for depth in range(len(levels) - 1):
+        p_coords, p_occ = levels[depth]
+        g = _SibLevelGeometry(p_coords, p_occ, levels[depth + 1][0].shape[0],
+                              parent_gmap_dev=carry_gmap)
+        carry_gmap = g.c_gmapT
+        assert np.array_equal(g.child_coords[: g.n_child],
+                              levels[depth + 1][0]), f"align @ depth {depth}"
+        p_dev = _params_on(params, g.device)
+        put = partial(jax.device_put, device=g.device)
+        gt_pad = np.zeros(g.ccap, np.int32)
+        gt_pad[: g.n_child] = levels[depth + 1][1]
+        gt_dev = put(gt_pad)
+        n_valid = put(np.int32(g.n_child))
+        cf = _context_sib(p_dev, config, g.pocc, g.pmask, g.p_gmapT,
+                          g.p_gmapfT, g.ppos, g.c_gmapT, g.c_gmapfT,
+                          g.cmask8)
+        s_gt = net.split_occupancy(gt_dev)
+        prevs = [jnp.zeros_like(s_gt[0]), s_gt[0], s_gt[0] * 2 + s_gt[1],
+                 (s_gt[0] * 2 + s_gt[1]) * 4 + s_gt[2]]
+        carry = jax.device_put(rans.enc_init_np(g.ccap), g.device)
+        for stage in (3, 2, 1, 0):  # rANS encodes the stream in reverse
+            table = _stage_cdf_sib(p_dev, stage, cf, g.c_gmapT, g.c_gmapfT,
+                                   g.cmask8, prevs[stage], g.cpos, g.inv)
+            carry = _rans_encode_stage(carry, table, s_gt[stage], n_valid)
+        pending.append(_rans_flush(carry))
+    return [
+        rans.pack_stream(np.asarray(words), np.asarray(n_words))
+        for words, n_words in pending
+    ]
+
+
+def _decode_levels_sib(base_coords, base_occ, payload: bytes, params,
+                       config: net.NetConfig, profile: list | None = None):
+    """Sib-engine decoder core; mirrors _decode_levels."""
+    streams = bitstream.unpack_byte_streams(payload)
+    n_levels = len(streams)
+    p_coords = base_coords.astype(np.int32)
+    p_occ = base_occ.astype(np.int32)
+    carry_gmap = None
+    for depth in range(n_levels):
+        n_child = int(np.unpackbits(p_occ.astype(np.uint8)[:, None],
+                                    axis=1).sum())
+        lvl_prof = {} if profile is not None else None
+        t_lvl = time.time()
+        g = _SibLevelGeometry(p_coords, p_occ, n_child,
+                              parent_gmap_dev=carry_gmap, prof=lvl_prof)
+        carry_gmap = g.c_gmapT
+        p_dev = _params_on(params, g.device)
+        put = partial(jax.device_put, device=g.device)
+        w_np, _ = rans.unpack_stream(streams[depth],
+                                     rans.word_capacity(g.ccap))
+        words = put(w_np)
+        n_valid = put(np.int32(n_child))
+        if lvl_prof is not None:
+            words.block_until_ready()
+            lvl_prof["upload_s"] = lvl_prof.get("upload_s", 0.0) + (
+                time.time() - t_lvl - lvl_prof.get("host_s", 0.0)
+                - lvl_prof.get("upload_s", 0.0))
+            lvl_prof["upload_bytes"] = (lvl_prof.get("upload_bytes", 0)
+                                        + w_np.nbytes)
+            t_dev = time.time()
+        cf = _context_sib(p_dev, config, g.pocc, g.pmask, g.p_gmapT,
+                          g.p_gmapfT, g.ppos, g.c_gmapT, g.c_gmapfT,
+                          g.cmask8)
+        state, ptr = _rans_dec_init(words)
+        prev = put(np.zeros(g.ccap, np.int32))
+        for stage in range(4):
+            table = _stage_cdf_sib(p_dev, stage, cf, g.c_gmapT, g.c_gmapfT,
+                                   g.cmask8, prev, g.cpos, g.inv)
+            state, ptr, prev = _rans_decode_stage(
+                state, ptr, words, table, prev, n_valid, stage)
+        if lvl_prof is not None:
+            prev.block_until_ready()
+            lvl_prof["device_s"] = time.time() - t_dev
+            t_dl = time.time()
+        p_coords = g.child_coords[:n_child]
+        p_occ = np.asarray(prev)[:n_child].astype(np.int32)
+        if lvl_prof is not None:
+            lvl_prof["download_s"] = time.time() - t_dl
+            lvl_prof["n_child"] = n_child
+            profile.append(lvl_prof)
+
+    n_final = int(np.unpackbits(p_occ.astype(np.uint8)[:, None], axis=1).sum())
+    cc, _, _, _ = hostmap.expand_children(
+        p_coords, p_occ.astype(np.uint8), n_final)
+    return cc[:n_final], n_final
+
+
 def _level_geometries(levels, kernel_size: int):
     """Geometry for every coded level, coarse->fine, with map reuse."""
     geos = []
@@ -317,7 +519,7 @@ def _encode_levels(levels, params, config: net.NetConfig):
 # once, on the final coordinates. Encode/decode bit-identity holds as in
 # v2: both sides dispatch the same jitted programs on identical inputs.
 
-GEOM_MODE = _os.environ.get("GAUSPCC_GEOM", "host")
+GEOM_MODE = _os.environ.get("GAUSPCC_GEOM", "sib")
 
 
 @partial(jax.jit, static_argnames=("ccap",))
@@ -466,9 +668,10 @@ def compress_point_cloud(
     Returns {bpp, enc_time, file_size_bits, num_points, output_path},
     the same result surface as the reference API (pcc_utils.py:205-217).
 
-    `geom`: "host" (v2 bitstream, host-built neighbor maps) or "device"
-    (v3, geometry rebuilt on the accelerator; see the v3 block comment).
-    Defaults to $GAUSPCC_GEOM or "host".
+    `geom`: "sib" (v4, sibling-packed MXU convs — the default), "host"
+    (v2 bitstream, host-built window maps) or "device" (v3, geometry
+    rebuilt on the accelerator; see the v3 block comment). Defaults to
+    $GAUSPCC_GEOM or "sib". Decode auto-selects by the version byte.
     """
     geom = geom or GEOM_MODE
     xyz = np.asarray(xyz_quantized)
@@ -485,15 +688,17 @@ def compress_point_cloud(
                                             sorted_unique=True)
     if geom == "device":
         streams, counts = _encode_levels_device(levels, params, config)
+    elif geom == "sib":
+        streams = _encode_levels_sib(levels, params, config)
     else:
         streams = _encode_levels(levels, params, config)
 
     base_coords, base_occ = levels[0]
     payload = bitstream.pack_byte_streams(streams)
+    version = {"device": VERSION_DEVICE, "sib": VERSION_SIB}.get(geom, VERSION)
     with open(output_path, "wb") as f:
         f.write(np.uint32(MAGIC).tobytes())
-        f.write(np.uint8(VERSION_DEVICE if geom == "device" else VERSION
-                         ).tobytes())
+        f.write(np.uint8(version).tobytes())
         f.write(np.float16(posQ).tobytes())
         f.write(shift.astype(np.int32).tobytes())
         f.write(np.int32(base_coords.shape[0]).tobytes())
@@ -535,15 +740,18 @@ def decompress_point_cloud(
         base_len = int(np.frombuffer(f.read(4), np.int32)[0])
         base_coords = np.frombuffer(f.read(base_len * 12), np.int32).reshape(-1, 3)
         base_occ = np.frombuffer(f.read(base_len), np.uint8)
-        if version >= VERSION_DEVICE:
+        if version == VERSION_DEVICE:
             n_levels = int(np.frombuffer(f.read(1), np.uint8)[0])
             counts = np.frombuffer(f.read(4 * (n_levels + 1)), np.int32)
         payload = f.read()
 
     t0 = time.time()
-    if version >= VERSION_DEVICE:
+    if version == VERSION_DEVICE:
         cc, n_final = _decode_levels_device(base_coords, base_occ, payload,
                                             counts, params, config)
+    elif version == VERSION_SIB:
+        cc, n_final = _decode_levels_sib(base_coords, base_occ, payload,
+                                         params, config, profile=profile)
     else:
         cc, n_final = _decode_levels(base_coords, base_occ, payload, params,
                                      config, profile=profile)
@@ -683,16 +891,18 @@ def compress_point_cloud_batch(
     levels = sparse.build_occupancy_pyramid(merged, min_points=MIN_BASE_POINTS)
     if geom == "device":
         streams, lvl_counts = _encode_levels_device(levels, params, config)
+    elif geom == "sib":
+        streams = _encode_levels_sib(levels, params, config)
     else:
         streams = _encode_levels(levels, params, config)
 
     base_coords, base_occ = levels[0]
     payload = bitstream.pack_byte_streams(streams)
     m = len(clouds)
+    version = {"device": VERSION_DEVICE, "sib": VERSION_SIB}.get(geom, VERSION)
     with open(output_path, "wb") as f:
         f.write(np.uint32(BATCH_MAGIC).tobytes())
-        f.write(np.uint8(VERSION_DEVICE if geom == "device" else VERSION
-                         ).tobytes())
+        f.write(np.uint8(version).tobytes())
         f.write(np.float16(posQ).tobytes())
         f.write(np.int32([m, lbits]).tobytes())
         f.write(shifts.astype(np.int32).tobytes())
@@ -736,15 +946,18 @@ def decompress_point_cloud_batch(
         base_len = int(np.frombuffer(f.read(4), np.int32)[0])
         base_coords = np.frombuffer(f.read(base_len * 12), np.int32).reshape(-1, 3)
         base_occ = np.frombuffer(f.read(base_len), np.uint8)
-        if version >= VERSION_DEVICE:
+        if version == VERSION_DEVICE:
             n_levels = int(np.frombuffer(f.read(1), np.uint8)[0])
             lvl_counts = np.frombuffer(f.read(4 * (n_levels + 1)), np.int32)
         payload = f.read()
 
     t0 = time.time()
-    if version >= VERSION_DEVICE:
+    if version == VERSION_DEVICE:
         cc, n_final = _decode_levels_device(base_coords, base_occ, payload,
                                             lvl_counts, params, config)
+    elif version == VERSION_SIB:
+        cc, n_final = _decode_levels_sib(base_coords, base_occ, payload,
+                                         params, config)
     else:
         cc, n_final = _decode_levels(base_coords, base_occ, payload, params,
                                      config)

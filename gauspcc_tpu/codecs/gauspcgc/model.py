@@ -347,25 +347,21 @@ def _spatial_sib(p, feats, gmapT, gmapfT, slotmask):
     return conv(p["conv1"], jax.nn.relu(conv(p["conv0"], feats)))
 
 
-def level_bits_sib(params: Params, config: NetConfig,
-                   pocc_packed, pslotmask, p_gmapT, p_gmapfT,
-                   parent_pos, c_gmapT, c_gmapfT, c_slotmask, gt_packed):
-    """Training bits for one level over sibling-packed geometry.
+def sib_context(params: Params, config: NetConfig, pocc_packed, pslotmask,
+                p_gmapT, p_gmapfT, parent_pos, c_gmapT, c_gmapfT,
+                c_slotmask):
+    """Child context features over sibling-packed geometry -> [Pcap*8, C].
 
     pocc_packed int32 [Gp*8]: parent occupancy bytes in the parents' own
     sibling packing (grouped by grandparent cell); pslotmask bool [Gp*8].
     p_gmapT/p_gmapfT int32 [Gp, 27]: grandparent-cell neighbor map + flip.
     parent_pos int32 [Pcap]: row of parent voxel i inside the packed
-    parent layout (pad rows may alias row 0; they are never read through
-    valid children).
-    c_gmapT/c_gmapfT int32 [Pcap, 27]: parent-cell neighbor map for the
-    children (a child's k<=5 neighborhood spans the 27 cells around its
-    parent voxel); c_slotmask bool [Pcap*8] = parent occupancy bits;
-    gt_packed int32 [Pcap*8] = child occupancy bytes at (parent, octant).
-
-    Returns (total_bits, n_valid_children) == level_bits_packed on the
-    same level (different packing, same network).
-    """
+    parent layout (pad rows may alias row 0; never read through valid
+    children). c_gmapT/c_gmapfT int32 [Pcap, 27]: parent-cell neighbor
+    map for the children (a child's k<=5 neighborhood spans the 27 cells
+    around its parent); c_slotmask bool [Pcap*8] = parent occupancy bits.
+    Equals level_context_packed's output at valid voxels, reindexed to
+    (parent, octant) slots."""
     dt = config.compute_dtype
     pf = params["prior_embedding"][jnp.clip(pocc_packed.astype(jnp.int32),
                                             0, 255)]
@@ -379,23 +375,42 @@ def level_bits_sib(params: Params, config: NetConfig,
           + params["target_embedding"][None, :, :].astype(dt)).reshape(
               pcap * 8, -1)
     cf = jnp.where(c_slotmask[:, None], cf, 0).astype(dt)
-    cf = _conv_stack_sib(params["target_resnet"], cf, c_gmapT, c_gmapfT,
-                         c_slotmask)
+    return _conv_stack_sib(params["target_resnet"], cf, c_gmapT, c_gmapfT,
+                           c_slotmask)
 
+
+def sib_stage_probs(params: Params, stage: int, cf, c_gmapT, c_gmapfT,
+                    c_slotmask, prev_packed):
+    """Stage probabilities over packed children [Pcap*8, S]; prev_packed
+    int32 [Pcap*8] = previously (de)coded symbols in packed order."""
+    f = cf
+    if stage > 0:
+        table = params[f"cond_emb_s{stage}"]
+        f = f + jnp.where(
+            c_slotmask[:, None],
+            table[jnp.clip(prev_packed, 0, table.shape[0] - 1)].astype(
+                f.dtype),
+            0)
+    h = _spatial_sib(params[f"spatial_s{stage}"], f, c_gmapT, c_gmapfT,
+                     c_slotmask)
+    return _head(params[f"head_s{stage}"], h)
+
+
+def level_bits_sib(params: Params, config: NetConfig,
+                   pocc_packed, pslotmask, p_gmapT, p_gmapfT,
+                   parent_pos, c_gmapT, c_gmapfT, c_slotmask, gt_packed):
+    """Training bits for one level over sibling-packed geometry; equals
+    level_bits_packed on the same level (different packing, same net).
+    gt_packed int32 [Pcap*8] = child occupancy bytes at (parent, octant).
+    Returns (total_bits, n_valid_children)."""
+    cf = sib_context(params, config, pocc_packed, pslotmask, p_gmapT,
+                     p_gmapfT, parent_pos, c_gmapT, c_gmapfT, c_slotmask)
     s0, s1, s2, s3 = split_occupancy(gt_packed)
     total = 0.0
     prev = jnp.zeros_like(s0)
     for stage, gt in enumerate((s0, s1, s2, s3)):
-        f = cf
-        if stage > 0:
-            table = params[f"cond_emb_s{stage}"]
-            f = f + jnp.where(
-                c_slotmask[:, None],
-                table[jnp.clip(prev, 0, table.shape[0] - 1)].astype(f.dtype),
-                0)
-        h = _spatial_sib(params[f"spatial_s{stage}"], f, c_gmapT, c_gmapfT,
-                         c_slotmask)
-        probs = _head(params[f"head_s{stage}"], h)
+        probs = sib_stage_probs(params, stage, cf, c_gmapT, c_gmapfT,
+                                c_slotmask, prev)
         p = jnp.take_along_axis(probs, gt[:, None], axis=-1)[:, 0]
         bits = jnp.clip(-jnp.log2(p + 1e-10), 0.0, 50.0)
         total = total + jnp.sum(jnp.where(c_slotmask, bits, 0.0))

@@ -111,19 +111,10 @@ class SibLevel:
 
 
 def _sib_pos(child_coords: np.ndarray, parent_coords: np.ndarray):
-    """Packed row (parent_row*8 + octant) of each child voxel.
+    """Packed row (parent_row*8 + octant) of each child voxel."""
+    from gauspcc_tpu.ops import sibconv
 
-    Both arrays lex-sorted (z major); every child>>1 must be present in
-    parent_coords."""
-    from gauspcc_tpu.ops import sparse as sp
-
-    dims = parent_coords.max(axis=0) + 1
-    pkey = sp.lex_key_np(parent_coords, dims)
-    ckey = sp.lex_key_np(child_coords >> 1, dims)
-    pidx = np.searchsorted(pkey, ckey)
-    oct_ = ((child_coords[:, 0] & 1) + 2 * (child_coords[:, 1] & 1)
-            + 4 * (child_coords[:, 2] & 1))
-    return (pidx * 8 + oct_).astype(np.int64)
+    return sibconv.sib_pos_np(child_coords, parent_coords)
 
 
 def pyramid_batches_sib(xyz_int: np.ndarray, kernel_size: int):

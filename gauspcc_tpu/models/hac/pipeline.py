@@ -337,6 +337,12 @@ def evaluate(state, cfg, cameras, out_dir: str,
           flush=True)
     psnrs, ssims, lpipss = [], [], []
     lpips_fn = _try_lpips()
+    # the bare "lpips" key is reserved for the real pretrained metric: a
+    # surrogate value under that name WILL be compared against published
+    # LPIPS by some reader (VERDICT r3 weak #5). The random-feature
+    # surrogate publishes only as "lpips_surrogate" + variant tag.
+    variant = getattr(lpips_fn, "variant", None) if lpips_fn else None
+    lpips_key = "lpips" if variant == "vgg16_pretrained" else "lpips_surrogate"
     per_view = {}
     for i, (cam, img) in enumerate(zip(cameras, renders)):
         if cam.image is None:
@@ -349,19 +355,18 @@ def evaluate(state, cfg, cameras, out_dir: str,
         ssims.append(s)
         entry = {"psnr": p, "ssim": s}
         if lpips_fn is not None:
-            entry["lpips"] = float(lpips_fn(im, gt))
-            lpipss.append(entry["lpips"])
+            entry[lpips_key] = float(lpips_fn(im, gt))
+            lpipss.append(entry[lpips_key])
         per_view[f"{i:05d}"] = entry
     return {
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
         "eval_k": max_k,
         "eval_d": max_d,
-        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        lpips_key: float(np.mean(lpipss)) if lpipss else None,
         # "vgg16_pretrained" when a real weights npz is supplied;
         # "vgg_random_v1" = deterministic surrogate (not paper-comparable)
-        "lpips_variant": getattr(lpips_fn, "variant", None)
-        if lpips_fn is not None else None,
+        "lpips_variant": variant,
         "fps": fps,
         "per_view": per_view,
     }

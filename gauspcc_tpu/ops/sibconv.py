@@ -35,6 +35,22 @@ import jax
 import jax.numpy as jnp
 
 
+def sib_pos_np(coords: np.ndarray, groups: np.ndarray) -> np.ndarray:
+    """Packed row (group_row*8 + octant) of each voxel (host, numpy).
+
+    coords int [N, 3] lex-sorted; groups int [G, 3] lex-sorted unique,
+    covering every coords>>1."""
+    c = np.asarray(coords, np.int64)
+    g = np.asarray(groups, np.int64)
+    dims = g.max(axis=0) + 1
+    gkey = (g[:, 2] * dims[1] + g[:, 1]) * dims[0] + g[:, 0]
+    parent = c >> 1
+    ckey = (parent[:, 2] * dims[1] + parent[:, 1]) * dims[0] + parent[:, 0]
+    gidx = np.searchsorted(gkey, ckey)
+    oct_ = (c[:, 0] & 1) + 2 * (c[:, 1] & 1) + 4 * (c[:, 2] & 1)
+    return gidx * 8 + oct_
+
+
 @lru_cache(maxsize=8)
 def tap_table(kernel_size: int) -> np.ndarray:
     """Constant index table TIDX [27, 8, 8] int32: TIDX[e, s, o] = kernel

@@ -79,12 +79,22 @@ def main(argv=None):
         "C": dict(fam=dataclasses.replace(
             fam, phase_of_step=lambda it: 0 if it <= 1500 else 1)),
     }
-    snap_iter = 6000
+    # the soak overwrites its snapshot every 2000 iters: read the actual
+    # iteration from the checkpoint instead of assuming one, else every
+    # variant replays ZERO iterations and the bisect silently reports the
+    # same baseline number four times (ADVICE r3, medium)
+    from gauspcc_tpu.utils import checkpoint as ckpt_lib
+
+    snap_iter = int(ckpt_lib.load_training_checkpoint(args.snap)["iteration"])
+    print(f"snapshot at iteration {snap_iter}", flush=True)
     summary = {}
     for name in args.variants.split(","):
         v = variants[name]
         vdir = os.path.join(args.out, name)
         os.makedirs(vdir, exist_ok=True)
+        stale = os.path.join(vdir, "scalars.jsonl")
+        if os.path.exists(stale):  # ScalarLogger appends; drop prior-run rows
+            os.remove(stale)
         print(f"=== probe {name} ===", flush=True)
         state, _ = pipeline.train_scene(
             scene, cfg, v.get("opt", base_opt), vdir,
@@ -95,13 +105,20 @@ def main(argv=None):
             log_every=100, scalar_logger=ScalarLogger(vdir),
         )
         spath = os.path.join(vdir, "scalars.jsonl")
-        tail = [0.0]
+        # rows without train/psnr (eval rows) are skipped; no rows at all
+        # (e.g. variant Z replays nothing) reports null, not a fake 0.0
+        # PSNR; a stale file from a prior run in the same --out would mix
+        # tails, so truncate before each probe instead (handled above by
+        # fresh vdir creation + ScalarLogger append) — filter defensively
+        tail: list[float] = []
         if os.path.exists(spath):
             rows = [json.loads(l) for l in open(spath)]
-            tail = [r["train/psnr"] for r in rows[-3:]] or [0.0]
+            tail = [r["train/psnr"] for r in rows if "train/psnr" in r][-3:]
         cp = clean_psnr(state, cfg, probe_cams, os.path.join(vdir, "probe"))
-        summary[name] = {"noisy_tail": round(float(np.mean(tail)), 2),
-                         "clean": cp}
+        summary[name] = {
+            "noisy_tail": round(float(np.mean(tail)), 2) if tail else None,
+            "clean": cp,
+        }
         print(f"probe {name}: noisy-tail {summary[name]['noisy_tail']} "
               f"clean {cp}", flush=True)
     print("BISECT SUMMARY:", json.dumps(summary), flush=True)

@@ -16,8 +16,13 @@ LOG=/tmp/r4_chain.log
 echo "=== chain start $(date -u +%FT%TZ) ===" >> "$LOG"
 
 SOAK_PID=$(cat /tmp/soak_r4.pid 2>/dev/null || echo "")
+# bounded wait: a stale pid file recycled by an unrelated process must not
+# block the chain forever (ADVICE r3)
+WAITED=0
 if [ -n "$SOAK_PID" ]; then
-  while kill -0 "$SOAK_PID" 2>/dev/null; do sleep 30; done
+  while kill -0 "$SOAK_PID" 2>/dev/null && [ "$WAITED" -lt 21600 ]; do
+    sleep 30; WAITED=$((WAITED + 30))
+  done
 fi
 echo "=== hac soak finished $(date -u +%FT%TZ) ===" >> "$LOG"
 

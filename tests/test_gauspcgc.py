@@ -183,3 +183,28 @@ def test_batch_device_geom_roundtrip(tmp_path, params):
         a = np.unique(src.astype(np.int64), axis=0)
         b = np.unique(got.astype(np.int64), axis=0)
         np.testing.assert_array_equal(a, b)
+
+
+def test_host_geom_roundtrip_bit_exact(tmp_path, params):
+    """The v2 host-window-map engine stays decodable (old bitstreams)."""
+    rng = np.random.default_rng(21)
+    xyz = _cloud(rng, 1500, extent=128)
+    p = str(tmp_path / "pc_host.bin")
+    codec.compress_point_cloud(xyz, params, p, config=CFG, geom="host")
+    dec = codec.decompress_point_cloud(p, params, config=CFG)
+    got = np.asarray(sorted(map(tuple, dec["point_cloud"].astype(np.int64).tolist())))
+    np.testing.assert_array_equal(
+        got, np.asarray(sorted(map(tuple, xyz.astype(np.int64).tolist()))))
+
+
+def test_sib_rate_matches_host(tmp_path, params):
+    """The sib engine computes the same network, so its file size must be
+    within rounding noise of the v2 engine's (same CDFs up to bf16
+    reduction order)."""
+    rng = np.random.default_rng(22)
+    xyz = _cloud(rng, 2500, extent=96)
+    a = codec.compress_point_cloud(
+        xyz, params, str(tmp_path / "a.bin"), config=CFG, geom="sib")
+    b = codec.compress_point_cloud(
+        xyz, params, str(tmp_path / "b.bin"), config=CFG, geom="host")
+    assert abs(a["bpp"] - b["bpp"]) / b["bpp"] < 0.02
