@@ -113,6 +113,7 @@ def test_phase_schedule_windows():
     assert cat_render.phase_of_step(19_001) == 5
 
 
+@pytest.mark.slow
 def test_rate_only_phase_loss_and_grad_mask(state):
     """Phase 3: loss is the ARM latent rate alone; grad_mask lets only the
     ARM parameters update (reference steps feature_arm_optimizer only)."""

@@ -197,6 +197,7 @@ def test_host_geom_roundtrip_bit_exact(tmp_path, params):
         got, np.asarray(sorted(map(tuple, xyz.astype(np.int64).tolist()))))
 
 
+@pytest.mark.slow
 def test_sib_rate_matches_host(tmp_path, params):
     """The sib engine computes the same network, so its file size must be
     within rounding noise of the v2 engine's (same CDFs up to bf16

@@ -3,6 +3,7 @@ neighbor maps and child expansion must agree exactly."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from gauspcc_tpu.ops import hostmap, sparse
 
@@ -14,6 +15,7 @@ def _sorted_unique_coords(rng, n, span):
     return pts[order]
 
 
+@pytest.mark.slow
 def test_build_map_matches_device():
     rng = np.random.default_rng(0)
     for span, k in [(12, 3), (20, 5), (6, 5)]:

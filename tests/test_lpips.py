@@ -44,6 +44,7 @@ def test_env_var_resolution(fn_and_imgs, tmp_path, monkeypatch):
     assert float(fn(a, b)) > 0
 
 
+@pytest.mark.slow
 def test_evaluate_reports_lpips_with_weights(tmp_path, monkeypatch):
     """results.json gets a non-null lpips once a weights file is present
     (the reference always reports LPIPS — HAC/train.py:528-563)."""

@@ -87,6 +87,7 @@ def test_checkpoint_resume_is_deterministic(tmp_path):
     assert tail_a[0].split("(")[0] == tail_b[0].split("(")[0]
 
 
+@pytest.mark.slow
 def test_gui_roundtrips_a_frame(tmp_path):
     from gauspcc_tpu.utils.network_gui import NetworkGUI
 

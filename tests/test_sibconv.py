@@ -13,7 +13,6 @@ import pytest
 
 from gauspcc_tpu.ops import hostmap, sibconv, sparse
 
-pytestmark = pytest.mark.smoke
 
 
 def _rand_voxels(rng, n, span=40):
@@ -38,6 +37,7 @@ def _pack(coords):
     return groups, pos, slotmask, gmap
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("kernel_size", [3, 5])
 def test_sibconv_matches_dense_conv(kernel_size):
     rng = np.random.default_rng(0)
@@ -102,19 +102,22 @@ def test_sibconv_grads_match_dense_conv():
                                rtol=3e-3, atol=3e-3)
 
 
-def test_level_bits_sib_matches_packed():
+@pytest.mark.parametrize("kernel_size", [3, pytest.param(5, marks=pytest.mark.slow)])
+def test_level_bits_sib_matches_packed(kernel_size):
     """The sib-packed level program returns the same training bits as the
-    legacy window-map level program (same params, same cloud)."""
+    legacy window-map level program (same params, same cloud). k=3 runs in
+    the fast lane; the (4.6x costlier) k=5 variant runs in the slow lane —
+    the k=5 tap mapping itself is pinned by the smoke conv test."""
     from gauspcc_tpu.codecs.gauspcgc import model
     from gauspcc_tpu.codecs.gauspcgc import train as ctrain
 
     rng = np.random.default_rng(2)
-    base = rng.integers(0, 160, (40, 3))
-    pts = np.repeat(base, 40, axis=0) + rng.integers(-6, 7, (1600, 3))
+    base = rng.integers(0, 120, (40, 3))
+    pts = np.repeat(base, 22, axis=0) + rng.integers(-6, 7, (880, 3))
     pts = np.clip(pts, 0, None)
     pts = sparse.dedupe_lex_np(pts).astype(np.int64)
 
-    cfg = model.NetConfig(channels=16, kernel_size=5, dtype="f32")
+    cfg = model.NetConfig(channels=16, kernel_size=kernel_size, dtype="f32")
     params = model.init_params(jax.random.PRNGKey(0), cfg)
 
     legacy, n1 = ctrain.pyramid_batches(np.asarray(pts), cfg.kernel_size)
@@ -151,7 +154,7 @@ def test_train_step_sib_runs_and_decreases_bpp():
     zero = jax.tree_util.tree_map(jnp.zeros_like, params)
     prepared = ctrain.pyramid_batches_sib(pts, cfg.net.kernel_size)
     bpps = []
-    for _ in range(8):
+    for _ in range(5):
         params, opt_state, bpp = ctrain.train_step(
             params, opt_state, upd, cfg.net, None, zero, prepared=prepared)
         bpps.append(bpp)

@@ -40,6 +40,7 @@ def test_contract_identity_inside():
     assert np.linalg.norm(out) < 2.0  # contracted into radius-2 ball
 
 
+@pytest.mark.slow
 def test_autoencoder_shapes_and_grads():
     cfg = tri.AEConfig(feat=4, compressed_dim=4)
     params = tri.init_autoencoder(jax.random.PRNGKey(0), cfg)
