@@ -3,13 +3,15 @@
 # second JAX process OOMs while a 512px soak holds HBM, observed r3):
 #   1. wait for the running HAC 30k soak wrapper (pid file) to exit
 #   2. codec training on the sibling-packed path (model/gauspcgc_r4),
-#      wall-clock capped so the family soaks still get chip time; the
-#      trainer snapshots full state every 1000 steps so a later resume
-#      continues losslessly
-#   3. HAC++ / TC-GS / CAT-3DGS soaks at the textured-scene recipe with
-#      the freshest codec checkpoint
-#   4. a full bench pass (primes the XLA compile cache for the driver's
-#      end-of-round bench run and records the numbers for BASELINE.md)
+#      wall-clock capped; full-state snapshots every 1000 steps make a
+#      later resume lossless
+#   3. full bench pass immediately after — primes the XLA compile cache
+#      for the driver's end-of-round bench and records the numbers with
+#      the fresh codec checkpoint
+#   4. TC-GS / CAT-3DGS / HAC++ soaks (that order: TC-GS and CAT-3DGS
+#      have never run at scene scale on the chip — VERDICT r3 item 5 —
+#      while HAC++ already has a round-2 soak) with whatever chip time
+#      remains before the round ends
 set -u
 cd /root/repo
 LOG=/tmp/r4_chain.log
@@ -26,22 +28,22 @@ if [ -n "$SOAK_PID" ]; then
 fi
 echo "=== hac soak finished $(date -u +%FT%TZ) ===" >> "$LOG"
 
-timeout 9000 bash scripts/codec_train_loop.sh model/gauspcgc_r4 \
+timeout 6000 bash scripts/codec_train_loop.sh model/gauspcgc_r4 \
   --training_data 'data/pcc_corpus_r4/train/*.npy' \
   --val_data 'data/pcc_corpus_r4/val/*.npy' \
   --max_steps 30000 --lr_decay_steps 11000,24500 \
   --val_interval 500 --geo_cache 128
 echo "=== codec train finished rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
 
+timeout 1500 python bench.py > BENCH_r4_preview.json 2>/tmp/bench_preview.err
+echo "=== bench preview rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
+
 PCC_CKPT=model/gauspcgc/best_model.npz
 if [ -f model/gauspcgc_r4/best_model.npz ]; then PCC_CKPT=model/gauspcgc_r4/best_model.npz; fi
-for fam in hac_plus tcgs cat3dgs; do
-  timeout 6000 bash scripts/soak_loop.sh "runs/soak_${fam}_r4" \
-    --model "$fam" --iters 9000 --hw 512 --cams 64 --scene textured \
+for fam in tcgs cat3dgs hac_plus; do
+  timeout 4500 bash scripts/soak_loop.sh "runs/soak_${fam}_r4" \
+    --model "$fam" --iters 6000 --hw 512 --cams 64 --scene textured \
     --pcc_ckpt "$PCC_CKPT"
   echo "=== $fam soak finished rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
 done
-
-timeout 1200 python bench.py > BENCH_r4_preview.json 2>/tmp/bench_preview.err
-echo "=== bench preview rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
 echo "=== chain done $(date -u +%FT%TZ) ===" >> "$LOG"
