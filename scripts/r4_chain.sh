@@ -35,7 +35,7 @@ timeout 6000 bash scripts/codec_train_loop.sh model/gauspcgc_r4 \
   --val_interval 500 --geo_cache 128
 echo "=== codec train finished rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
 
-timeout 1500 python bench.py > BENCH_r4_preview.json 2>/tmp/bench_preview.err
+GAUSPCC_BENCH_BUDGET_S=1350 timeout 1500 python bench.py > BENCH_r4_preview.json 2>/tmp/bench_preview.err
 echo "=== bench preview rc=$? $(date -u +%FT%TZ) ===" >> "$LOG"
 
 PCC_CKPT=model/gauspcgc/best_model.npz
