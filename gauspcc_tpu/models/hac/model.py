@@ -27,6 +27,15 @@ from gauspcc_tpu.fields import hashgrid
 
 State = dict[str, Any]
 
+# --- phase-2 bisection knobs (diagnostic; default off = reference parity).
+# Set before building the train step; they are read at trace time.
+# P2_Q_FIXED: keep the base quantization steps in phase 2 (no context-
+#   adaptive 1+tanh scaling of the injected noise or the bit estimate).
+# P2_NOISE_FEAT_ONLY: inject phase-2 noise only into anchor features,
+#   leaving scaling/offsets un-noised (bits still estimated on them).
+P2_Q_FIXED = False
+P2_NOISE_FEAT_ONLY = False
+
 
 class HACConfig(NamedTuple):
     feat_dim: int = 50
@@ -317,7 +326,33 @@ def generate_neural_gaussians(
     binary_mask = get_mask(state, decoded)  # [cap, K, 1]
     mask_anchor = get_mask_anchor(state, decoded)
 
+    def _live_means():
+        # attribute means over LIVE rows only (capacity padding is zeros
+        # and would bias the STE clamp window toward 0); the reference
+        # uses plain .mean() over its dense tensors
+        valid_f = state["valid"].astype(jnp.float32)[:, None]
+        n_live = jnp.maximum(jnp.sum(valid_f), 1.0)
+        feat_mean = jnp.sum(
+            anchors["anchor_feat"] * valid_f) / (n_live * cfg.feat_dim)
+        scaling_mean = jnp.sum(get_scaling(state) * valid_f) / (n_live * 6)
+        offset_mean = jnp.sum(
+            anchors["offset"] * valid_f[:, :, None]) / (n_live * 3 * k)
+        return feat_mean, scaling_mean, offset_mean
+
     rate = None
+    if not training and not decoded:
+        # eval path: STE-quantize the attributes through the learned
+        # context exactly as the encoder will (gaussian_renderer
+        # __init__.py:104-110) — the float eval must render what ships
+        from gauspcc_tpu.core.quant import ste_multistep
+
+        ctx = grid_mlp_split(state, cfg, calc_interp_feat(state, cfg, anchor))
+        feat_mean, scaling_mean, offset_mean = _live_means()
+        feat = ste_multistep(feat, ctx["q_feat"], feat_mean)
+        grid_scaling = ste_multistep(
+            grid_scaling, ctx["q_scaling"], scaling_mean)
+        grid_offsets = ste_multistep(
+            grid_offsets, ctx["q_offsets"][:, None, :], offset_mean)
     if training and not decoded:
         assert key is not None
         k1, k2, k3 = jax.random.split(key, 3)
@@ -327,25 +362,25 @@ def generate_neural_gaussians(
             grid_offsets = uniform_noise_quant(grid_offsets, cfg.q_offsets, k3)
         elif phase == 2:
             ctx = grid_mlp_split(state, cfg, calc_interp_feat(state, cfg, anchor))
+            if P2_Q_FIXED:
+                ctx = dict(ctx)
+                ctx["q_feat"] = jnp.full_like(ctx["q_feat"], cfg.q_feat)
+                ctx["q_scaling"] = jnp.full_like(ctx["q_scaling"], cfg.q_scaling)
+                ctx["q_offsets"] = jnp.full_like(ctx["q_offsets"], cfg.q_offsets)
             feat = uniform_noise_quant(feat, ctx["q_feat"], k1)
-            grid_scaling = uniform_noise_quant(grid_scaling, ctx["q_scaling"], k2)
-            grid_offsets = uniform_noise_quant(
-                grid_offsets, ctx["q_offsets"][:, None, :], k3
-            )
+            if not P2_NOISE_FEAT_ONLY:
+                grid_scaling = uniform_noise_quant(
+                    grid_scaling, ctx["q_scaling"], k2)
+                grid_offsets = uniform_noise_quant(
+                    grid_offsets, ctx["q_offsets"][:, None, :], k3
+                )
             # rate estimate over all valid & mask-on & visible anchors.
             # (The reference samples 5% of them, gaussian_renderer:73-96 —
             # same expectation, lower variance here.) x_mean clamps must
             # average over LIVE rows only: the capacity padding is zeros
             # and would bias the clamp window toward 0.
             sel = (vis & mask_anchor)[:, None].astype(jnp.float32)
-            valid_f = state["valid"].astype(jnp.float32)[:, None]
-            n_live = jnp.maximum(jnp.sum(valid_f), 1.0)
-            feat_mean = jnp.sum(
-                anchors["anchor_feat"] * valid_f) / (n_live * cfg.feat_dim)
-            scaling_mean = jnp.sum(
-                get_scaling(state) * valid_f) / (n_live * 6)
-            offset_mean = jnp.sum(
-                anchors["offset"] * valid_f[:, :, None]) / (n_live * 3 * k)
+            feat_mean, scaling_mean, offset_mean = _live_means()
             mask3 = jnp.repeat(binary_mask, 3, axis=-1).reshape(-1, 3 * k)
             bit_feat = entropy.gaussian_bits(
                 feat, ctx["mean"], ctx["scale"], ctx["q_feat"],
