@@ -355,9 +355,35 @@ def adjust_anchor(state, stats, opt_state, cfg: hac.HACConfig, opt: OptConfig,
 
     adam_state = adam_state._replace(mu=remap(mu), nu=remap(nu))
 
-    # reset stats; zero for everyone (reference zeroes refreshed entries and
-    # re-pads; post-prune indices restart cleanly here)
-    new_stats = zero_stats(new_cap, k)
+    # selective stat resets (gaussian_model.py:923-933,952-965): only
+    # offset entries that were growth-counted (offset_mask) and anchors
+    # that were prune-counted (demon over threshold) restart their
+    # accumulators; under-threshold entries KEEP accumulating across
+    # adjust rounds, so rarely-visible anchors still reach the prune /
+    # growth thresholds eventually. New anchors start at zero.
+    off_acc = np.asarray(stats["offset_gradient_accum"]).copy()
+    off_den = np.asarray(stats["offset_denom"]).copy()
+    off_acc[offset_mask] = 0.0
+    off_den[offset_mask] = 0.0
+    counted = demon > opt.update_interval * opt.success_threshold
+    op_acc2 = op_accum.copy()
+    dem2 = demon.copy()
+    op_acc2[counted] = 0.0
+    dem2[counted] = 0.0
+
+    def remap_stat(per_anchor: np.ndarray, width: int) -> jnp.ndarray:
+        rows = per_anchor.reshape(cap, width)[keep_idx]
+        out = np.zeros((new_cap, width), rows.dtype)
+        out[: rows.shape[0]] = rows
+        return jnp.asarray(out.reshape(new_cap * width, 1)
+                           if width == k else out)
+
+    new_stats = {
+        "opacity_accum": remap_stat(op_acc2[:, None], 1),
+        "anchor_demon": remap_stat(dem2[:, None], 1),
+        "offset_gradient_accum": remap_stat(off_acc, k),
+        "offset_denom": remap_stat(off_den, k),
+    }
     return new_state, new_stats, (adam_state, step_count), {
         "n_anchors": n_total, "n_added": int(n_new), "n_pruned": int(prune.sum()),
         "recompiled": new_cap != cap,
