@@ -327,24 +327,35 @@ def level_bits_packed(params: Params, config: NetConfig, parent_occ,
 
 def _conv_stack_sib(p, feats, gmapT, gmapfT, slotmask):
     """conv + 2 ResNets over the sibling-packed layout; numerically equal
-    to _conv_stack at valid voxels (tests/test_sibconv.py)."""
+    to _conv_stack at valid voxels (tests/test_sibconv.py). Rematerialized
+    like _conv_stack: without checkpoint, the level-grad program keeps
+    every conv's [G, 27, 8C] gather buffer alive at once and the finest
+    level blows HBM (observed 21.6G of 15.75G, model/gauspcgc_r4)."""
     from gauspcc_tpu.ops import sibconv
 
-    conv = lambda q, f: sibconv.sibconv_apply(
-        f, gmapT, gmapfT, q["w"], q["b"], slotmask=slotmask)
-    h = jax.nn.relu(conv(p["conv"], feats))
-    r = p["res0"]
-    h1 = jax.nn.relu(h + conv(r["conv1"], jax.nn.relu(conv(r["conv0"], h))))
-    r = p["res1"]
-    return jax.nn.relu(h1 + conv(r["conv1"], jax.nn.relu(conv(r["conv0"], h1))))
+    def body(p_, feats_):
+        conv = lambda q, f: sibconv.sibconv_apply(
+            f, gmapT, gmapfT, q["w"], q["b"], slotmask=slotmask)
+        h = jax.nn.relu(conv(p_["conv"], feats_))
+        r = p_["res0"]
+        h1 = jax.nn.relu(
+            h + conv(r["conv1"], jax.nn.relu(conv(r["conv0"], h))))
+        r = p_["res1"]
+        return jax.nn.relu(
+            h1 + conv(r["conv1"], jax.nn.relu(conv(r["conv0"], h1))))
+
+    return jax.checkpoint(body)(p, feats)
 
 
 def _spatial_sib(p, feats, gmapT, gmapfT, slotmask):
     from gauspcc_tpu.ops import sibconv
 
-    conv = lambda q, f: sibconv.sibconv_apply(
-        f, gmapT, gmapfT, q["w"], q["b"], slotmask=slotmask)
-    return conv(p["conv1"], jax.nn.relu(conv(p["conv0"], feats)))
+    def body(p_, feats_):
+        conv = lambda q, f: sibconv.sibconv_apply(
+            f, gmapT, gmapfT, q["w"], q["b"], slotmask=slotmask)
+        return conv(p_["conv1"], jax.nn.relu(conv(p_["conv0"], feats_)))
+
+    return jax.checkpoint(body)(p, feats)
 
 
 def sib_context(params: Params, config: NetConfig, pocc_packed, pslotmask,

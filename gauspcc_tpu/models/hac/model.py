@@ -340,7 +340,13 @@ def generate_neural_gaussians(
         return feat_mean, scaling_mean, offset_mean
 
     rate = None
-    if not training and not decoded:
+    nets = state.get("nets", {})
+    has_hac_ctx = (
+        "tables" in nets and "mlp_grid" in nets
+        and nets["mlp_grid"]["fc1"]["w"].shape[-1] == cfg.grid_out_dim
+    )  # HAC++/TC-GS/CAT reuse this scaffold with their own contexts;
+    # their float-eval quantization lives in their own codecs
+    if not training and not decoded and has_hac_ctx:
         # eval path: STE-quantize the attributes through the learned
         # context exactly as the encoder will (gaussian_renderer
         # __init__.py:104-110) — the float eval must render what ships

@@ -40,6 +40,24 @@ def _raster_cfg(cam, max_k: int = 256, max_d: int = 32) -> raster.RasterConfig:
 
 
 @functools.lru_cache(maxsize=16)
+def _saturation_jit(cfg, rcfg):
+    """Bounded-work cap diagnostics for the training raster config: are
+    Gaussian footprints overflowing D, or tile lists overflowing K?"""
+    import jax
+
+    def f(state, cam):
+        visible = hac_render.prefilter_voxel(state, cfg, cam, rcfg)
+        ng, _ = hac.generate_neural_gaussians(
+            state, cfg, cam.camera_center, visible)
+        s = raster.tile_saturation(
+            ng.xyz, ng.scaling, ng.rot, cam.viewmatrix, rcfg, valid=ng.valid)
+        return (s["frac_gauss_over_d"], s["frac_tiles_over_k"],
+                s["max_tile_count"])
+
+    return jax.jit(f)
+
+
+@functools.lru_cache(maxsize=16)
 def _footprint_jit(cfg, rcfg, decoded: bool):
     import jax
 
@@ -163,14 +181,48 @@ def train_scene(
         order = rng.permutation(len(cam_arrays)).tolist()
         first_it = 1
 
-    step_fn = hac_train.make_train_step(cfg, rcfg, optimizer, opt,
-                                        loss_fn=family.training_loss,
-                                        grad_mask=family.grad_mask,
-                                        white_background=white_background)
+    def _mk_step(rc):
+        return hac_train.make_train_step(
+            cfg, rc, optimizer, opt, loss_fn=family.training_loss,
+            grad_mask=family.grad_mask, white_background=white_background)
 
+    step_fn = _mk_step(rcfg)
+
+    def _adapt_caps(rc, params, rest, cam):
+        """Grow the bounded-work raster caps when the scene outgrows them.
+        Training against an over-truncated forward is what collapsed the
+        round-3/4 soaks: the model co-adapts to the truncation and the
+        true render falls apart (runs/soak_hac_r4, BASELINE.md r4). The
+        reference rasterizer is unbounded, so cap growth is the price of
+        static shapes — checked every cap_adapt_every steps, doubling D/K
+        (one recompile each, a handful per run)."""
+        st = hac.merge_state(params, rest)
+        cfg_h = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
+        over_d, over_k, max_cnt = (
+            float(x) for x in _saturation_jit(cfg_h, rc)(st, cam))
+        grew = False
+        if over_d > 0.05 and rc.max_tiles_per_gaussian < 256:
+            rc = rc._replace(
+                max_tiles_per_gaussian=rc.max_tiles_per_gaussian * 2)
+            grew = True
+        if over_k > 0.02 and rc.max_gaussians_per_tile < 1024:
+            rc = rc._replace(
+                max_gaussians_per_tile=rc.max_gaussians_per_tile * 2)
+            grew = True
+        if grew:
+            log(f"raster caps -> D={rc.max_tiles_per_gaussian} "
+                f"K={rc.max_gaussians_per_tile} (over_d {over_d:.3f}, "
+                f"over_k {over_k:.3f}, max_tile {max_cnt:.0f})")
+        return rc, grew
+
+    cap_adapt_every = 500
     last_it = min(opt.iterations, stop_at) if stop_at else opt.iterations
     t0 = time.time()
     for it in range(first_it, last_it + 1):
+        if cap_adapt_every and (it == first_it or it % cap_adapt_every == 0):
+            rcfg, grew = _adapt_caps(rcfg, params, rest, cam_arrays[0])
+            if grew:
+                step_fn = _mk_step(rcfg)
         if gui is not None:
             _poll_gui(gui, hac.merge_state(params, rest), cfg, model_dir)
         if not order:
@@ -231,6 +283,26 @@ def train_scene(
                 "order": list(order),
             })
             log(f"iter {it}: checkpoint -> {ckpt_path}")
+            # clean-render canary: the training-time psnr metric renders
+            # through quantization noise AND the bounded training caps, so
+            # it can look healthy while the true render rots (exactly how
+            # the r3/r4 collapses stayed invisible until final eval).
+            # Render 2 held-out views with honest caps every checkpoint.
+            if scene.test_cameras:
+                st = hac.merge_state(params, rest)
+                cfg_h = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
+                bg = (jnp.ones(3, jnp.float32) if white_background
+                      else jnp.zeros(3, jnp.float32))
+                ps = []
+                for c in scene.test_cameras[:2]:
+                    ca = hac_render.CameraArrays.from_camera(c)
+                    rc_eval = _raster_cfg(c, max_k=1024, max_d=256)
+                    img = hac_render.render_image(st, cfg_h, ca, rc_eval, bg)
+                    ps.append(float(img_lib.psnr(img, jnp.asarray(c.image))))
+                log(f"iter {it}: clean-render canary PSNR "
+                    f"{float(np.mean(ps)):.2f} {['%.1f' % p for p in ps]}")
+                if scalar_logger is not None:
+                    scalar_logger.log(it, {"eval/psnr_clean": float(np.mean(ps))})
 
     state = hac.merge_state(params, rest)
     checkpoint.save_pytree(os.path.join(model_dir, "model.npz"), state)

@@ -176,14 +176,31 @@ def _build_tile_lists(proj: Projected, cfg: RasterConfig):
     ny = (y1 - y0 + 1).astype(jnp.int32)
 
     alive = proj.radius > 0
+    # Centered D-window: when a footprint rect exceeds the D slot budget,
+    # emit the window of tiles centered on the projected mean instead of
+    # the rect's first rows. Row-major truncation amputated the bottom of
+    # every over-budget Gaussian (horizontal banding), and training
+    # against that broken forward destabilized whole runs
+    # (runs/soak_hac_r4: clean PSNR 22.8 -> 14.3 while every per-arm
+    # bisect collapsed identically). The centered window drops only the
+    # symmetric 3-sigma fringe, so moderate overflow degrades gracefully.
+    # When the rect fits in D this reduces exactly to the full rect.
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    cx = jnp.clip(
+        jnp.floor(proj.mean2d[:, 0] / TILE), x0, x1).astype(jnp.int32)
+    cy = jnp.clip(
+        jnp.floor(proj.mean2d[:, 1] / TILE), y0, y1).astype(jnp.int32)
+    nx_w = jnp.minimum(nx, d_max)
+    rows_w = jnp.minimum(ny, jnp.maximum(1, d_max // jnp.maximum(nx_w, 1)))
+    x0w = jnp.clip(cx - (nx_w - 1) // 2, x0i, x1i - nx_w + 1)
+    y0w = jnp.clip(cy - (rows_w - 1) // 2, y0i, y1i - rows_w + 1)
     slot = jnp.arange(d_max, dtype=jnp.int32)  # [D]
-    sx = slot[None, :] % jnp.maximum(nx[:, None], 1)
-    sy = slot[None, :] // jnp.maximum(nx[:, None], 1)
-    tile = (
-        (y0.astype(jnp.int32)[:, None] + sy) * cfg.tiles_x
-        + x0.astype(jnp.int32)[:, None] + sx
-    )
-    pair_ok = alive[:, None] & (slot[None, :] < nx[:, None] * ny[:, None])
+    sx = slot[None, :] % jnp.maximum(nx_w[:, None], 1)
+    sy = slot[None, :] // jnp.maximum(nx_w[:, None], 1)
+    tile = (y0w[:, None] + sy) * cfg.tiles_x + x0w[:, None] + sx
+    pair_ok = alive[:, None] & (
+        slot[None, :] < nx_w[:, None] * rows_w[:, None])
     tile = jnp.where(pair_ok, tile, cfg.n_tiles)  # overflow bucket at end
 
     # single int32 sort over a packed (tile, depth) key: tile in the top
