@@ -91,11 +91,20 @@ def main():
             fam = dataclasses.replace(
                 base_fam,
                 phase_of_step=lambda it: min(hac_train.phase_of_step(it), 1))
+        if arm == "phase0":  # no noise, no rate: pure photometric objective
+            fam = dataclasses.replace(base_fam, phase_of_step=lambda it: 0)
         opt = hac_train.OptConfig(
             iterations=30_000,
             lmbda=0.0 if arm == "rate_off" else args.lmbda,
             update_until=0 if arm == "no_densify" else 15_000,
         )
+        if arm == "lr_low":  # stability probe: every group lr x0.25
+            scaled = {
+                f.name: getattr(opt, f.name) * 0.25
+                for f in dataclasses.fields(opt)
+                if "lr" in f.name and isinstance(getattr(opt, f.name), float)
+            }
+            opt = dataclasses.replace(opt, **scaled)
         out_dir = os.path.join("/tmp/bisect_r4", arm)
         os.makedirs(out_dir, exist_ok=True)
         t1 = time.time()
