@@ -126,6 +126,7 @@ def test_training_improves_psnr(setup):
         assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_rate_terms_active_after_10k(setup):
     cams, state = setup
     params, rest = hac.split_state(state)

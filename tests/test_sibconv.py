@@ -136,6 +136,7 @@ def test_level_bits_sib_matches_packed(kernel_size):
                                    rtol=1e-4, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_train_step_sib_runs_and_decreases_bpp():
     from gauspcc_tpu.codecs.gauspcgc import model
     from gauspcc_tpu.codecs.gauspcgc import train as ctrain
