@@ -102,7 +102,8 @@ def test_sibconv_grads_match_dense_conv():
                                rtol=3e-3, atol=3e-3)
 
 
-@pytest.mark.parametrize("kernel_size", [3, pytest.param(5, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("kernel_size", [pytest.param(3, marks=pytest.mark.slow),
+                                         pytest.param(5, marks=pytest.mark.slow)])
 def test_level_bits_sib_matches_packed(kernel_size):
     """The sib-packed level program returns the same training bits as the
     legacy window-map level program (same params, same cloud). k=3 runs in

@@ -72,6 +72,7 @@ def state():
     return dict(st, anchors=a)
 
 
+@pytest.mark.slow
 def test_training_loss_phases(state):
     params, rest = hac.split_state(state)
     rcfg = raster.RasterConfig(32, 32, 0.5, 0.5, max_gaussians_per_tile=32)
