@@ -268,3 +268,31 @@ def test_auto_d_footprint_cover_is_exact():
             bg_color=jnp.zeros(3), cfg=cfg)
         imgs[dd] = np.asarray(img)
     np.testing.assert_allclose(imgs[d], imgs[64], atol=1e-6)
+
+
+def test_d_overflow_window_is_centered():
+    """A Gaussian whose footprint exceeds D must render the window CENTERED
+    on its mean, not the footprint rect's first rows (regression: row-major
+    truncation amputated the bottom of big Gaussians and destabilized whole
+    training runs, runs/soak_hac_r4)."""
+    g = _one_gaussian(xyz=(0.0, 0.0, 4.0), opacity=0.95, scale=0.9)
+    honest = raster.rasterize(
+        **g, viewmatrix=_identity_view(), bg_color=jnp.zeros(3),
+        cfg=_cfg(max_tiles_per_gaussian=64),
+    )[0]
+    capped = raster.rasterize(
+        **g, viewmatrix=_identity_view(), bg_color=jnp.zeros(3),
+        cfg=_cfg(max_tiles_per_gaussian=12),  # footprint ~6x6 => 6x2 window
+    )[0]
+    h = np.asarray(honest).sum(axis=0)  # [H, W] brightness
+    c = np.asarray(capped).sum(axis=0)
+    assert h.max() > 0.5 and c.max() > 0.5
+    # the rendered rows must bracket the image center symmetrically:
+    # top and bottom halves carry comparable mass (row-major truncation
+    # put ~all mass in the top rows)
+    top, bottom = c[:32].sum(), c[32:].sum()
+    assert bottom > 0.5 * top, (top, bottom)
+    assert top > 0.5 * bottom, (top, bottom)
+    # and the capped render matches the honest one at the center tile
+    center_err = np.abs(h[24:40, 24:40] - c[24:40, 24:40]).max()
+    assert center_err < 1e-3, center_err
