@@ -157,6 +157,10 @@ def main(argv=None):
     p.add_argument("--resume", default="")
     args = p.parse_args(argv)
 
+    from gauspcc_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     import jax
 
     from gauspcc_tpu.codecs.gauspcgc import model as pcc_model

@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from gauspcc_tpu.utils import compile_cache
+
+    compile_cache.enable()
     p = argparse.ArgumentParser(prog="gauspcc-soak-eval")
     p.add_argument("--run", required=True)
     p.add_argument("--model", default="hac")

@@ -33,6 +33,9 @@ DATASET_PRESETS = {
 
 
 def main(argv=None):
+    from gauspcc_tpu.utils import compile_cache
+
+    compile_cache.enable()
     p = argparse.ArgumentParser(prog="gauspcc-sweep")
     p.add_argument("--model", default="hac",
                    choices=("hac", "hac_plus", "tcgs", "cat3dgs"))

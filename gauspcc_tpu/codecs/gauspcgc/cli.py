@@ -261,6 +261,9 @@ def cmd_synth(args):
 
 
 def main(argv=None):
+    from gauspcc_tpu.utils import compile_cache
+
+    compile_cache.enable()
     p = argparse.ArgumentParser(prog="gauspcgc")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -126,6 +126,9 @@ def cmd_eval(args):
 
 
 def main(argv=None):
+    from gauspcc_tpu.utils import compile_cache
+
+    compile_cache.enable()
     p = argparse.ArgumentParser(prog="hac")
     sub = p.add_subparsers(dest="cmd", required=True)
 
