@@ -23,20 +23,6 @@ import time
 import numpy as np
 
 
-def _cache_dir() -> str:
-    """Compilation cache, keyed by host CPU fingerprint: XLA:CPU AOT blobs
-    are not portable across machines (the loader warns about SIGILL when
-    the flags differ), and this repo's cache may travel between hosts."""
-    import hashlib
-    import platform
-
-    try:
-        info = open("/proc/cpuinfo").read()
-        flags = next((l for l in info.splitlines() if l.startswith("flags")), "")
-    except OSError:
-        flags = platform.processor()
-    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
-    return f"/root/repo/.jax_cache-{tag}"
 
 
 def _bench_cloud():
@@ -56,11 +42,14 @@ def load_codec(extra: dict):
 
     cfg = model.NetConfig(channels=32, kernel_size=5)
     here = os.path.dirname(__file__)
+    env_ckpt = os.environ.get("GAUSPCC_PCC_CKPT", "")
     ckpt_path = next(
-        (p for p in (os.path.join(here, "model", "gauspcgc_r4", "best_model.npz"),
+        (p for p in (env_ckpt,
+                     os.path.join(here, "model", "gauspcgc_r5", "best_model.npz"),
+                     os.path.join(here, "model", "gauspcgc_r4", "best_model.npz"),
                      os.path.join(here, "model", "gauspcgc_r3", "best_model.npz"),
                      os.path.join(here, "model", "gauspcgc", "best_model.npz"))
-         if os.path.exists(p)), "")
+         if p and os.path.exists(p)), "")
     if ckpt_path:
         from gauspcc_tpu.utils import checkpoint
 
@@ -306,6 +295,10 @@ def bench_train_iter(extra: dict) -> None:
 
 
 def _emit(value: float, base: float, extra: dict) -> None:
+    # stamp when the headline was actually measured: provisional replays
+    # carry this forward, so staleness is always visible (ADVICE r4)
+    extra.setdefault("measured_at",
+                     time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
     print(json.dumps({
         "metric": "gauspcgc_encdec_points_per_sec",
         "value": round(value, 1),
@@ -325,29 +318,34 @@ def main():
     a consumer of the last line sees the fullest completed picture."""
     t_start = time.time()
     budget = float(os.environ.get("GAUSPCC_BENCH_BUDGET_S", "540"))
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir())
 
     # Provisional headline BEFORE any device work: a fresh boot wipes the
     # XLA compile cache (observed 2026-08-19: the cold codec axis exceeded
     # a 950 s timeout over the tunneled chip, reproducing BENCH_r03's
-    # rc=124/no-output). If a previously measured preview exists, emit it
+    # rc=124/no-output). If a previously MEASURED preview exists, emit it
     # immediately — clearly tagged provisional — so an external kill at ANY
     # point leaves a parseable line; the measured line then overwrites it.
-    for prev in ("BENCH_r4_preview2.json", "BENCH_r4_preview.json"):
+    # A record that is itself a replay (carries provisional_from) is never
+    # replayed again: a chain of killed runs must not launder an N-hop
+    # stale number into a fresh-looking one (ADVICE r4 medium).
+    for prev in ("BENCH_r5_preview.json", "BENCH_r4_preview2.json",
+                 "BENCH_r4_preview.json"):
         path = os.path.join(os.path.dirname(__file__), prev)
         try:
             lines = [l for l in open(path).read().splitlines() if l.strip()]
             rec = json.loads(lines[-1])
-            rec.setdefault("extra", {})["provisional_from"] = prev
+            ex = rec.setdefault("extra", {})
+            if "provisional_from" in ex:
+                continue  # replay-of-a-replay: keep looking for a real one
+            ex["provisional_from"] = prev
             print(json.dumps(rec), flush=True)
             break
         except (OSError, ValueError, IndexError):
             continue
 
-    import jax
+    from gauspcc_tpu.utils import compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    compile_cache.enable()  # one caching policy for bench + CLIs (ADVICE r4)
 
     extra: dict = {}
     params, cfg = load_codec(extra)

@@ -168,14 +168,18 @@ def main(argv=None):
     from gauspcc_tpu.models.hac import pipeline
     from gauspcc_tpu.models.hac import train as hac_train
     from gauspcc_tpu.utils import checkpoint
+    from gauspcc_tpu.utils.heartbeat import Heartbeat
     from gauspcc_tpu.utils.scalars import ScalarLogger
 
     rng = np.random.default_rng(0)
     t0 = time.time()
     white_bg = args.bg == "white"
-    scene = build_scene(rng, args.hw, args.gt_gaussians, args.cams,
-                        args.seed_points, kind=args.scene,
-                        white_background=white_bg)
+    os.makedirs(args.out, exist_ok=True)
+    hb = Heartbeat(os.path.join(args.out, "heartbeat"))
+    with hb.guard("build_scene"):
+        scene = build_scene(rng, args.hw, args.gt_gaussians, args.cams,
+                            args.seed_points, kind=args.scene,
+                            white_background=white_bg)
     print(f"scene built in {time.time() - t0:.1f}s: "
           f"{len(scene.train_cameras)} train / {len(scene.test_cameras)} "
           f"test cams @ {args.hw}x{args.hw}, {scene.points.shape[0]} seeds")
@@ -217,6 +221,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         start_checkpoint=args.resume or None,
         scalar_logger=ScalarLogger(args.out),
+        heartbeat=hb,
     )
     wall = time.time() - t0
     results["train_wall_s"] = wall
@@ -224,6 +229,14 @@ def main(argv=None):
     json.dump({k: v for k, v in results.items() if k != "per_view"},
               open(os.path.join(args.out, "soak_summary.json"), "w"),
               indent=2, default=float)
+    if "aborted_divergence" in results:
+        # distinct exit code: the wrapper loop must NOT retry a collapsed
+        # run (resuming the diverged checkpoint would re-collapse) — it
+        # should surrender the chip to the next job in the chain
+        print(f"soak ABORTED (divergence at iter "
+              f"{results['aborted_divergence']['iteration']}): "
+              f"canary {results['aborted_divergence']['canary_db']:.2f} dB")
+        raise SystemExit(3)
     print(f"soak done in {wall/60:.1f} min "
           f"({results['ms_per_iter']:.1f} ms/iter): "
           f"PSNR {results.get('psnr')}, size {results.get('size_mb')} MB")

@@ -19,9 +19,6 @@ import numpy as np
 
 
 def main(argv=None):
-    from gauspcc_tpu.utils import compile_cache
-
-    compile_cache.enable()
     p = argparse.ArgumentParser(prog="gauspcc-soak-eval")
     p.add_argument("--run", required=True)
     p.add_argument("--model", default="hac")
@@ -34,6 +31,12 @@ def main(argv=None):
                    choices=("textured", "smooth", "hard"))
     p.add_argument("--pcc_ckpt", default="model/gauspcgc/best_model.npz")
     args = p.parse_args(argv)
+
+    from gauspcc_tpu.utils import compile_cache
+
+    # after arg parsing: --help and usage errors must not pay
+    # the jax import cost (ADVICE r4)
+    compile_cache.enable()
 
     import jax
 

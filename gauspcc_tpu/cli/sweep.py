@@ -33,9 +33,6 @@ DATASET_PRESETS = {
 
 
 def main(argv=None):
-    from gauspcc_tpu.utils import compile_cache
-
-    compile_cache.enable()
     p = argparse.ArgumentParser(prog="gauspcc-sweep")
     p.add_argument("--model", default="hac",
                    choices=("hac", "hac_plus", "tcgs", "cat3dgs"))
@@ -47,6 +44,12 @@ def main(argv=None):
     p.add_argument("--out_root", default="runs")
     p.add_argument("--pcc_ckpt", default="")
     args = p.parse_args(argv)
+
+    from gauspcc_tpu.utils import compile_cache
+
+    # after arg parsing: --help and usage errors must not pay
+    # the jax import cost (ADVICE r4)
+    compile_cache.enable()
 
     from gauspcc_tpu.codecs.gauspcgc import model as pcc_model
     from gauspcc_tpu.data.scene import Scene

@@ -261,9 +261,6 @@ def cmd_synth(args):
 
 
 def main(argv=None):
-    from gauspcc_tpu.utils import compile_cache
-
-    compile_cache.enable()
     p = argparse.ArgumentParser(prog="gauspcgc")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -322,6 +319,12 @@ def main(argv=None):
     s.set_defaults(fn=cmd_synth)
 
     args = p.parse_args(argv)
+
+    from gauspcc_tpu.utils import compile_cache
+
+    # after arg parsing: --help and usage errors must not pay
+    # the jax import cost (ADVICE r4)
+    compile_cache.enable()
     args.fn(args)
 
 

@@ -321,8 +321,14 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     interrupted mid-flight (device stall, crash) continues losslessly;
     state_every: how often (steps) the full state snapshot is written.
     """
+    from gauspcc_tpu.utils.heartbeat import Heartbeat
+
     logger = setup_logger(cfg.model_dir)
     logger.info(f"config: {cfg}")
+    # liveness file for scripts/codec_train_loop.sh's stall watchdog: kept
+    # warm through per-shape-bucket compiles, which can outlast any log
+    # cadence on a cold cache (see utils/heartbeat.py)
+    hb = Heartbeat(os.path.join(cfg.model_dir, "heartbeat"))
     key = jax.random.PRNGKey(cfg.seed)
     params = (start_params if start_params is not None
               else model.init_params(key, cfg.net))
@@ -362,10 +368,12 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                             geo_cache[ckey] = prepared
                 else:
                     xyz, prepared = dataset.sample(idx), None
-                params, opt_state, bpp = train_step(
-                    params, opt_state, update_fn, cfg.net, None, zero_grads,
-                    prepared=prepared,
-                )
+                with hb.guard("step"):
+                    params, opt_state, bpp = train_step(
+                        params, opt_state, update_fn, cfg.net, None,
+                        zero_grads, prepared=prepared,
+                    )
+                hb.beat()
                 step += 1
                 if step == step0 + 1:
                     # heartbeat after the first (compile-heavy) step so the
@@ -389,19 +397,20 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                                 (time.time() - t0) / max(step - step0, 1),
                         })
                 if val_dataset is not None and step % cfg.val_interval == 0:
-                    if val_cache is None:
-                        val_cache = [
-                            pyramid_batches_sib(val_dataset.get(vi),
-                                                cfg.net.kernel_size)
-                            for vi in range(len(val_dataset))
-                        ]
-                    vb, vn = None, 0
-                    for batches, n in val_cache:
-                        for lv in batches:
-                            b = _batch_bits(params, cfg.net, lv)
-                            vb = b if vb is None else vb + b
-                        vn += n
-                    vb = float(vb)  # one device sync for the whole val set
+                    with hb.guard("val"):
+                        if val_cache is None:
+                            val_cache = [
+                                pyramid_batches_sib(val_dataset.get(vi),
+                                                    cfg.net.kernel_size)
+                                for vi in range(len(val_dataset))
+                            ]
+                        vb, vn = None, 0
+                        for batches, n in val_cache:
+                            for lv in batches:
+                                b = _batch_bits(params, cfg.net, lv)
+                                vb = b if vb is None else vb + b
+                            vn += n
+                        vb = float(vb)  # one device sync for whole val set
                     val_bpp = vb / max(vn, 1)
                     logger.info(f"step {step} val_bpp {val_bpp:.4f}")
                     if scalar_logger is not None:

@@ -126,9 +126,6 @@ def cmd_eval(args):
 
 
 def main(argv=None):
-    from gauspcc_tpu.utils import compile_cache
-
-    compile_cache.enable()
     p = argparse.ArgumentParser(prog="hac")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -172,6 +169,12 @@ def main(argv=None):
     e.set_defaults(fn=cmd_eval)
 
     args = p.parse_args(argv)
+
+    from gauspcc_tpu.utils import compile_cache
+
+    # after arg parsing: --help and usage errors must not pay
+    # the jax import cost (ADVICE r4)
+    compile_cache.enable()
     args.fn(args)
 
 

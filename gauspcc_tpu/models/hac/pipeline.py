@@ -28,6 +28,7 @@ from gauspcc_tpu.models.hac import render as hac_render
 from gauspcc_tpu.models.hac import train as hac_train
 from gauspcc_tpu.render import raster
 from gauspcc_tpu.utils import checkpoint, image as img_lib
+from gauspcc_tpu.utils.heartbeat import DivergenceMonitor, NullHeartbeat
 
 
 def _raster_cfg(cam, max_k: int = 256, max_d: int = 32) -> raster.RasterConfig:
@@ -117,6 +118,35 @@ def select_eval_k(state, cfg, cam, decoded: bool = False,
     return k
 
 
+def adapt_caps(state, cfg, rc: raster.RasterConfig, cam,
+               log=print, max_d: int = 256, max_k: int = 1024):
+    """Grow the bounded-work raster caps when the scene outgrows them.
+
+    Training against an over-truncated forward is what collapsed the
+    round-3/4 soaks: the model co-adapts to the truncation and the true
+    render falls apart (runs/soak_hac_r4, BASELINE.md r4). The reference
+    rasterizer is unbounded, so cap growth is the price of static shapes —
+    checked every cap_adapt_every steps inside train_scene, doubling D/K
+    (one recompile each, a handful per run). Returns (rc, grew)."""
+    cfg_h = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
+    over_d, over_k, max_cnt = (
+        float(x) for x in _saturation_jit(cfg_h, rc)(state, cam))
+    grew = False
+    if over_d > 0.05 and rc.max_tiles_per_gaussian < max_d:
+        rc = rc._replace(
+            max_tiles_per_gaussian=rc.max_tiles_per_gaussian * 2)
+        grew = True
+    if over_k > 0.02 and rc.max_gaussians_per_tile < max_k:
+        rc = rc._replace(
+            max_gaussians_per_tile=rc.max_gaussians_per_tile * 2)
+        grew = True
+    if grew:
+        log(f"raster caps -> D={rc.max_tiles_per_gaussian} "
+            f"K={rc.max_gaussians_per_tile} (over_d {over_d:.3f}, "
+            f"over_k {over_k:.3f}, max_tile {max_cnt:.0f})")
+    return rc, grew
+
+
 def train_scene(
     scene: Scene,
     cfg,
@@ -135,6 +165,8 @@ def train_scene(
     gui=None,
     stop_at: int | None = None,
     scalar_logger=None,
+    heartbeat=None,
+    divergence_drop_db: float = 3.0,
 ):
     """Train one scene end-to-end; returns (state, results dict).
 
@@ -144,11 +176,21 @@ def train_scene(
     `start_checkpoint`: resume a snapshot written by `checkpoint_every > 0`
     (params + optimizer state + stats + iteration + rng streams), parity
     with HAC/train.py:108-110,250-252. `gui`: a utils.network_gui.NetworkGUI
-    polled every iteration (HAC/train.py:122-136)."""
+    polled every iteration (HAC/train.py:122-136).
+
+    `heartbeat`: a utils.heartbeat.Heartbeat proving liveness to an
+    external stall watchdog through recompiles (r4c failure mode).
+    `divergence_drop_db`: abort once the clean-render canary falls this
+    far below its running max (r4's soak burned 2h post-collapse); the
+    aborted run returns results with an "aborted_divergence" record and
+    skips the final codec eval."""
     from gauspcc_tpu.models import registry
 
     if family is None:
         family = registry.get_family("hac")
+    hb = heartbeat if heartbeat is not None else NullHeartbeat()
+    canary_mon = DivergenceMonitor(drop_db=divergence_drop_db, warmup=1)
+    diverged = None
     os.makedirs(model_dir, exist_ok=True)
     log = logger.info if logger else print
     ckpt_path = os.path.join(model_dir, "train_ckpt.pkl")
@@ -189,38 +231,16 @@ def train_scene(
     step_fn = _mk_step(rcfg)
 
     def _adapt_caps(rc, params, rest, cam):
-        """Grow the bounded-work raster caps when the scene outgrows them.
-        Training against an over-truncated forward is what collapsed the
-        round-3/4 soaks: the model co-adapts to the truncation and the
-        true render falls apart (runs/soak_hac_r4, BASELINE.md r4). The
-        reference rasterizer is unbounded, so cap growth is the price of
-        static shapes — checked every cap_adapt_every steps, doubling D/K
-        (one recompile each, a handful per run)."""
         st = hac.merge_state(params, rest)
-        cfg_h = cfg.as_hac() if hasattr(cfg, "as_hac") else cfg
-        over_d, over_k, max_cnt = (
-            float(x) for x in _saturation_jit(cfg_h, rc)(st, cam))
-        grew = False
-        if over_d > 0.05 and rc.max_tiles_per_gaussian < 256:
-            rc = rc._replace(
-                max_tiles_per_gaussian=rc.max_tiles_per_gaussian * 2)
-            grew = True
-        if over_k > 0.02 and rc.max_gaussians_per_tile < 1024:
-            rc = rc._replace(
-                max_gaussians_per_tile=rc.max_gaussians_per_tile * 2)
-            grew = True
-        if grew:
-            log(f"raster caps -> D={rc.max_tiles_per_gaussian} "
-                f"K={rc.max_gaussians_per_tile} (over_d {over_d:.3f}, "
-                f"over_k {over_k:.3f}, max_tile {max_cnt:.0f})")
-        return rc, grew
+        return adapt_caps(st, cfg, rc, cam, log=log)
 
     cap_adapt_every = 500
     last_it = min(opt.iterations, stop_at) if stop_at else opt.iterations
     t0 = time.time()
     for it in range(first_it, last_it + 1):
         if cap_adapt_every and (it == first_it or it % cap_adapt_every == 0):
-            rcfg, grew = _adapt_caps(rcfg, params, rest, cam_arrays[0])
+            with hb.guard("adapt_caps"):
+                rcfg, grew = _adapt_caps(rcfg, params, rest, cam_arrays[0])
             if grew:
                 step_fn = _mk_step(rcfg)
         if gui is not None:
@@ -239,9 +259,15 @@ def train_scene(
             if family.extra_init is not None:
                 state = family.extra_init(state, cfg)
             params, rest = hac.split_state(state)
-        params, opt_state, stats, metrics = step_fn(
-            params, rest, opt_state, stats, cam, sub, phase=phase,
-        )
+        # any step may recompile (cap growth just above, or an anchor
+        # bucket crossing after densification); the guard keeps the
+        # watchdog's heartbeat file warm through the compile, bounded so
+        # a true device hang still surfaces (utils/heartbeat.py)
+        with hb.guard("step"):
+            params, opt_state, stats, metrics = step_fn(
+                params, rest, opt_state, stats, cam, sub, phase=phase,
+            )
+        hb.beat()
         if it % log_every == 0:
             log(
                 f"iter {it}: loss {float(metrics['loss']):.4f} "
@@ -294,46 +320,78 @@ def train_scene(
                 bg = (jnp.ones(3, jnp.float32) if white_background
                       else jnp.zeros(3, jnp.float32))
                 ps = []
-                for c in scene.test_cameras[:2]:
-                    ca = hac_render.CameraArrays.from_camera(c)
-                    rc_eval = _raster_cfg(c, max_k=1024, max_d=256)
-                    img = hac_render.render_image(st, cfg_h, ca, rc_eval, bg)
-                    ps.append(float(img_lib.psnr(img, jnp.asarray(c.image))))
+                with hb.guard("canary"):
+                    for c in scene.test_cameras[:2]:
+                        ca = hac_render.CameraArrays.from_camera(c)
+                        rc_eval = _raster_cfg(c, max_k=1024, max_d=256)
+                        img = hac_render.render_image(
+                            st, cfg_h, ca, rc_eval, bg)
+                        ps.append(
+                            float(img_lib.psnr(img, jnp.asarray(c.image))))
+                canary = float(np.mean(ps))
                 log(f"iter {it}: clean-render canary PSNR "
-                    f"{float(np.mean(ps)):.2f} {['%.1f' % p for p in ps]}")
+                    f"{canary:.2f} {['%.1f' % p for p in ps]}")
                 if scalar_logger is not None:
-                    scalar_logger.log(it, {"eval/psnr_clean": float(np.mean(ps))})
+                    scalar_logger.log(it, {"eval/psnr_clean": canary})
+                if canary_mon.update(canary):
+                    # the model has collapsed (r4 failure mode: train-time
+                    # metrics look alive while the true render rots).
+                    # Surrender the chip: checkpoint is already on disk
+                    # for this iter; record the evidence and stop.
+                    diverged = {
+                        "iteration": it,
+                        "canary_db": canary,
+                        "canary_best_db": canary_mon.best,
+                        "drop_db": canary_mon.best - canary,
+                    }
+                    json.dump(diverged, open(
+                        os.path.join(model_dir, "DIVERGED.json"), "w"),
+                        indent=2)
+                    log(f"iter {it}: DIVERGENCE ABORT — canary "
+                        f"{canary:.2f} dB is "
+                        f"{canary_mon.best - canary:.2f} dB below the "
+                        f"running max {canary_mon.best:.2f}; stopping "
+                        f"(checkpoint at {ckpt_path})")
+                    break
 
     state = hac.merge_state(params, rest)
     checkpoint.save_pytree(os.path.join(model_dir, "model.npz"), state)
 
     results = {}
+    if diverged is not None:
+        results["aborted_divergence"] = diverged
+        return state, results
     if eval_at_end and pcc_params is not None:
         if family.name == "hac":
             _, est_log = hac_codec.estimate_final_bits(state, cfg)
             log(est_log)
         bs_dir = os.path.join(model_dir, "bitstreams")
-        sizes, enc_log = family.conduct_encoding(
-            state, cfg, bs_dir, pcc_params, pcc_cfg
-        )
+        with hb.guard("encode"):
+            sizes, enc_log = family.conduct_encoding(
+                state, cfg, bs_dir, pcc_params, pcc_cfg
+            )
         log(enc_log)
-        dec_state, dec_log = family.conduct_decoding(
-            state, cfg, bs_dir, pcc_params, pcc_cfg
-        )
+        with hb.guard("decode"):
+            dec_state, dec_log = family.conduct_decoding(
+                state, cfg, bs_dir, pcc_params, pcc_cfg
+            )
         log(dec_log)
-        results = evaluate(
-            dec_state, cfg, scene.test_cameras or scene.train_cameras[:2],
-            os.path.join(model_dir, "test_renders"),
-            white_background=white_background, decoded=True,
-        )
+        with hb.guard("eval_decoded"):
+            results = evaluate(
+                dec_state, cfg,
+                scene.test_cameras or scene.train_cameras[:2],
+                os.path.join(model_dir, "test_renders"),
+                white_background=white_background, decoded=True,
+            )
         # the reference's core claim is that coding costs ~nothing: report
         # the float-model PSNR on the same views and the encode->decode
         # delta alongside (HAC/train.py:291-382 logs both paths)
-        float_res = evaluate(
-            state, cfg, scene.test_cameras or scene.train_cameras[:2],
-            os.path.join(model_dir, "float_renders"),
-            white_background=white_background, decoded=False,
-        )
+        with hb.guard("eval_float"):
+            float_res = evaluate(
+                state, cfg, scene.test_cameras or scene.train_cameras[:2],
+                os.path.join(model_dir, "float_renders"),
+                white_background=white_background, decoded=False,
+            )
         results["psnr_float"] = float_res["psnr"]
         if results.get("psnr") is not None and float_res["psnr"] is not None:
             results["codec_delta_db"] = float_res["psnr"] - results["psnr"]

@@ -23,6 +23,8 @@ for attempt in $(seq 1 40); do
       wait "$pid"; code=$?; break
     fi
     now=$(date +%s); mt=$(stat -c %Y "$DIR/train.log" 2>/dev/null || echo 0)
+    hb=$(stat -c %Y "$DIR/heartbeat" 2>/dev/null || echo 0)
+    if [ "$hb" -gt "$mt" ]; then mt=$hb; fi
     if [ $((now - mt)) -gt "$STALL_S" ]; then
       echo "=== attempt $attempt stalled ${STALL_S}s, killing pid $pid ===" >> "$LOG"
       kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null

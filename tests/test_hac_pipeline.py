@@ -54,6 +54,12 @@ def test_full_pipeline(tmp_path):
     assert saved["psnr"] is not None and np.isfinite(saved["psnr"])
     assert saved["size_mb"] > 0
     assert os.path.exists(os.path.join(model_dir, "bitstreams", "xyz_pcc.bin"))
+    # the codec must cost ~nothing: float eval STE-quantizes through the
+    # learned context exactly like the decoded path (99ae1f8, parity with
+    # gaussian_renderer/__init__.py:104-110), so encode->decode may not
+    # move PSNR. Pinned per VERDICT r4 weak #7 — fails if the eval-time
+    # quantization fix reverts.
+    assert saved["codec_delta_db"] == pytest.approx(0.0, abs=0.01)
 
 
 @pytest.mark.smoke

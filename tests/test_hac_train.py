@@ -208,3 +208,111 @@ def test_densify_feat_scatter_max_oracle():
         np.asarray(new_state["anchors"]["anchor_feat"][2]),
         [4.0, 5.0, 3.0, 1.0], atol=1e-6,
     )
+
+
+def test_densify_stats_persist_for_undercounted_entries():
+    """Selective stat resets (gaussian_model.py:923-933,952-965): only
+    anchors whose visibility count crossed the success threshold — and
+    only offset entries that were growth-counted — restart their
+    accumulators after adjust_anchor; under-threshold entries KEEP
+    accumulating, so rarely-visible anchors still reach the prune/growth
+    thresholds eventually. Regression for the round-4 parity fix 86c2109
+    (shipped without a test, VERDICT r4 weak #7)."""
+    cfg = hac.HACConfig(
+        feat_dim=4, n_offsets=2, voxel_size=0.01,
+        update_depth=1, update_init_factor=4, update_hierachy_factor=4,
+        resolutions_3d=(6,), resolutions_2d=(16,),
+        log2_hashmap_size=13, log2_hashmap_size_2d=13,
+    )
+    k = cfg.n_offsets
+    pts = np.array([[0.0, 0, 0], [0.2, 0, 0], [0.4, 0, 0]], np.float32)
+    state = hac.init_state(jax.random.PRNGKey(0), cfg, pts)
+    cap = state["valid"].shape[0]
+
+    # growth disabled: every accumulated grad stays below the threshold
+    opt = hac_train.OptConfig(densify_grad_threshold=1e9)
+    anchor_thresh = opt.update_interval * opt.success_threshold      # 80
+    offset_thresh = anchor_thresh * 0.5                              # 40
+
+    stats = hac_train.zero_stats(cap, k)
+    demon = np.zeros((cap, 1), np.float32)
+    op = np.zeros((cap, 1), np.float32)
+    demon[0] = 0.5 * anchor_thresh   # under threshold -> must persist
+    op[0] = 0.7
+    demon[1] = 2.0 * anchor_thresh   # counted -> must reset
+    op[1] = 1e3                      # high opacity: counted but NOT pruned
+    off_den = np.zeros((cap * k, 1), np.float32)
+    off_acc = np.zeros((cap * k, 1), np.float32)
+    off_den[0 * k] = 0.9 * offset_thresh   # under -> persists
+    off_acc[0 * k] = 0.33
+    off_den[1 * k] = 2.0 * offset_thresh   # growth-counted -> resets
+    off_acc[1 * k] = 0.44
+    stats["anchor_demon"] = jnp.asarray(demon)
+    stats["opacity_accum"] = jnp.asarray(op)
+    stats["offset_denom"] = jnp.asarray(off_den)
+    stats["offset_gradient_accum"] = jnp.asarray(off_acc)
+
+    optimizer = hac_train.make_optimizer(opt, 1.0)
+    params, _ = hac.split_state(state)
+    opt_state = optimizer.init(params)
+    new_state, new_stats, _, info = hac_train.adjust_anchor(
+        state, stats, opt_state, cfg, opt, np.random.default_rng(0)
+    )
+    assert info["n_added"] == 0 and info["n_pruned"] == 0
+    # keep order is the identity here (no prune, no growth)
+    nd = np.asarray(new_stats["anchor_demon"])[:, 0]
+    no = np.asarray(new_stats["opacity_accum"])[:, 0]
+    assert nd[0] == pytest.approx(0.5 * anchor_thresh)  # persisted
+    assert no[0] == pytest.approx(0.7)
+    assert nd[1] == 0.0 and no[1] == 0.0                # reset
+    nfd = np.asarray(new_stats["offset_denom"])[:, 0]
+    nfa = np.asarray(new_stats["offset_gradient_accum"])[:, 0]
+    assert nfd[0 * k] == pytest.approx(0.9 * offset_thresh)
+    assert nfa[0 * k] == pytest.approx(0.33)             # persisted
+    assert nfd[1 * k] == 0.0 and nfa[1 * k] == 0.0       # reset
+
+
+def test_adapt_caps_grows_and_recompiled_step_matches_unbounded(setup):
+    """End-to-end exercise of the adaptive-cap loop (VERDICT r4 weak #8):
+    starting from deliberately tiny D/K caps, adapt_caps must double them
+    until saturation clears, the render at the grown caps must match an
+    effectively-unbounded-cap render, and a train step rebuilt at the
+    grown caps must run (models/hac/pipeline.py::adapt_caps)."""
+    from gauspcc_tpu.models.hac import pipeline
+    from gauspcc_tpu.utils import image as img_lib
+
+    cams, state = setup
+    cam = hac_render.CameraArrays.from_camera(cams[0])
+    rc = raster.RasterConfig(H, W, cams[0].tanfovx, cams[0].tanfovy,
+                             max_gaussians_per_tile=8,
+                             max_tiles_per_gaussian=2)
+    d0, k0 = rc.max_tiles_per_gaussian, rc.max_gaussians_per_tile
+    for _ in range(10):
+        rc, grew = pipeline.adapt_caps(
+            state, SMALL_CFG, rc, cam, log=lambda *a: None,
+            max_d=16, max_k=512)
+        if not grew:
+            break
+    assert not grew, "caps must reach a stable point"
+    assert (rc.max_tiles_per_gaussian > d0 or
+            rc.max_gaussians_per_tile > k0), "tiny caps must have grown"
+
+    # grown-cap render ~= unbounded-cap render (the whole point of the
+    # loop: training never co-adapts to a heavily truncated forward)
+    bg = jnp.zeros(3)
+    img_grown = hac_render.render_image(state, SMALL_CFG, cam, rc, bg)
+    rc_unb = rc._replace(max_tiles_per_gaussian=16,   # 4x4 tiles at 64px
+                         max_gaussians_per_tile=2048)
+    img_unb = hac_render.render_image(state, SMALL_CFG, cam, rc_unb, bg)
+    assert float(img_lib.psnr(img_grown, img_unb)) > 30.0
+
+    # the recompiled step at the grown caps runs and is finite
+    opt = hac_train.OptConfig()
+    optimizer = hac_train.make_optimizer(opt, 4.0)
+    params, rest = hac.split_state(state)
+    opt_state = optimizer.init(params)
+    stats = hac_train.zero_stats(rest["valid"].shape[0], SMALL_CFG.n_offsets)
+    step_fn = hac_train.make_train_step(SMALL_CFG, rc, optimizer, opt)
+    _, _, _, metrics = step_fn(params, rest, opt_state, stats, cam,
+                               jax.random.PRNGKey(0), phase=0)
+    assert np.isfinite(float(metrics["loss"]))
