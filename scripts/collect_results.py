@@ -19,6 +19,11 @@ def row(run_dir: str) -> str | None:
     if not os.path.exists(path):
         return None
     r = json.load(open(path))
+    # ms_per_iter / train_wall_s live in the soak driver's summary, not
+    # in train_scene's results.json — merge when present
+    summ = os.path.join(run_dir, "soak_summary.json")
+    if os.path.exists(summ):
+        r = {**json.load(open(summ)), **r}
     name = os.path.basename(run_dir.rstrip("/"))
 
     def f(key, fmt="{:.2f}", default="—"):
