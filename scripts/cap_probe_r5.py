@@ -23,6 +23,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+
+# run as `python scripts/cap_probe_r5.py`: sys.path[0] is scripts/, not the
+# repo root — the r5 chain's first invocation died on exactly this import
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
