@@ -166,6 +166,7 @@ def cmd_train(args):
                     scalar_logger=ScalarLogger(cfg.model_dir),
                     start_params=start,
                     geo_cache_size=args.geo_cache,
+                    geo_cache_bytes=args.geo_cache_mb * 1_000_000,
                     resume_state=args.resume_state or None)
 
 
@@ -299,8 +300,13 @@ def main(argv=None):
     t.add_argument("--max_patch_points", type=int, default=data.MAX_PATCH_POINTS)
     t.add_argument("--geo_cache", type=int, default=64,
                    help="patches whose device geometry stays resident "
-                        "(~4.5 MB per 150k-pt patch); size it to the corpus "
-                        "so steady-state steps are device-only")
+                        "(~65 MB per 150k-pt patch — the [cap,27] neighbor "
+                        "maps dominate); size it to the corpus so "
+                        "steady-state steps are device-only")
+    t.add_argument("--geo_cache_mb", type=int, default=3000,
+                   help="hard byte budget for the device geometry cache; "
+                        "the count limit alone OOM'd v5e HBM on the r4 "
+                        "corpus (48 clouds x ~65 MB + grad workspace)")
     t.add_argument("--lr_decay_steps", default="40000,90000",
                    help="comma-separated decay milestones (x0.1 each)")
     t.add_argument("--val_interval", type=int, default=500)

@@ -117,6 +117,29 @@ def _sib_pos(child_coords: np.ndarray, parent_coords: np.ndarray):
     return sibconv.sib_pos_np(child_coords, parent_coords)
 
 
+def _bucket_train(n: int, minimum: int = 256) -> int:
+    """Pure power-of-two capacity for TRAINING shapes.
+
+    The codec's ``_bucket`` switches to multiples of 16384 above 16 k to
+    bound pad waste on the encode/decode path — the right trade there,
+    where each shape compiles once per process and throughput is king.
+    The trainer sees a different regime: every distinct (parent_cap,
+    child_cap) pair compiles BOTH a forward and a grad program over the
+    tunneled backend (~30-120 s each), and the r4 synthetic corpus
+    produces 54 such pairs under ``_bucket`` vs 27 under pow2 — the r5
+    on-chip retrain spent its whole 2 h window in that compile storm at
+    16-128 s/step (model/gauspcgc_r5/loop.log) while post-compile steps
+    are sub-second. Pow2 pads at most 2x compute, which the MXU matmuls
+    absorb; halving the program count halves the storm, and the
+    persistent compile cache (utils/compile_cache.py) then makes every
+    later run warm.
+    """
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 def pyramid_batches_sib(xyz_int: np.ndarray, kernel_size: int):
     """Host prep for the sibling-packed training path (ops/sibconv.py).
 
@@ -128,14 +151,13 @@ def pyramid_batches_sib(xyz_int: np.ndarray, kernel_size: int):
 
     Returns ([SibLevel] per coded level, n_points).
     """
-    from gauspcc_tpu.codecs.gauspcgc.codec import _bucket
     from gauspcc_tpu.ops import hostmap, sparse
 
     xyz0 = sparse.dedupe_lex_np(xyz_int - xyz_int.min(axis=0))
     levels = sparse.build_occupancy_pyramid(xyz0, min_points=MIN_BASE_POINTS,
                                             sorted_unique=True)
     n_levels = len(levels)
-    caps = [_bucket(levels[d][0].shape[0]) for d in range(n_levels)]
+    caps = [_bucket_train(levels[d][0].shape[0]) for d in range(n_levels)]
     gmaps = [hostmap.build_map(levels[d][0], levels[d][0].shape[0], 3,
                                ncap=caps[d])
              for d in range(n_levels - 1)]  # finest level needs no own map
@@ -143,22 +165,31 @@ def pyramid_batches_sib(xyz_int: np.ndarray, kernel_size: int):
     # grandparent grouping of the coarsest (base) level
     base = levels[0][0].astype(np.int64)
     groups0 = sparse.dedupe_lex_np(base >> 1).astype(np.int32)
-    g0cap = _bucket(groups0.shape[0])
+    g0cap = _bucket_train(groups0.shape[0])
     gmap0 = hostmap.build_map(groups0, groups0.shape[0], 3, ncap=g0cap)
 
     def put_map(m):
         t = jnp.asarray(m.T)  # [cap, 27]
         return t, t[:, ::-1]
 
+    # Convert each neighbor map to device arrays ONCE: gmaps[d] serves as
+    # the child map of level d AND the parent map of level d+1, and the
+    # maps dominate the prepared cloud's device footprint ([cap,27] int32
+    # x forward+flipped = 56 MB at a 262144-cap fine level). Converting
+    # per use, as before, duplicated every map on device and doubled both
+    # HBM residency and upload traffic.
+    dev_gmap0 = put_map(gmap0)
+    dev_gmaps = [put_map(m) for m in gmaps]
+
     out = []
     for d in range(n_levels - 1):
         pcoords, pocc = levels[d]
         nd, cap = pcoords.shape[0], caps[d]
         if d == 0:
-            gp_coords, gp_cap, gp_map = groups0, g0cap, gmap0
+            gp_coords, gp_cap, gp_dev = groups0, g0cap, dev_gmap0
         else:
-            gp_coords, gp_cap, gp_map = (levels[d - 1][0], caps[d - 1],
-                                         gmaps[d - 1])
+            gp_coords, gp_cap, gp_dev = (levels[d - 1][0], caps[d - 1],
+                                         dev_gmaps[d - 1])
         pos = _sib_pos(pcoords.astype(np.int64), gp_coords.astype(np.int64))
         pocc_packed = np.zeros(gp_cap * 8, np.int32)
         pocc_packed[pos] = pocc
@@ -176,8 +207,8 @@ def pyramid_batches_sib(xyz_int: np.ndarray, kernel_size: int):
 
         ppos = np.zeros(cap, np.int64)
         ppos[:nd] = pos
-        p_gmapT, p_gmapfT = put_map(gp_map)
-        c_gmapT, c_gmapfT = put_map(gmaps[d])
+        p_gmapT, p_gmapfT = gp_dev
+        c_gmapT, c_gmapfT = dev_gmaps[d]
         out.append(SibLevel(
             pocc=jnp.asarray(pocc_packed), pmask=jnp.asarray(pmask),
             p_gmapT=p_gmapT, p_gmapfT=p_gmapfT,
@@ -305,9 +336,35 @@ def setup_logger(log_dir: str, name: str = "gauspcgc") -> logging.Logger:
     return logger
 
 
+def _prepared_nbytes(prepared) -> int:
+    """Device bytes held by one prepared cloud (geo-cache accounting).
+
+    Deduplicates by object identity: adjacent SibLevels share their
+    neighbor-map device arrays (pyramid_batches_sib converts each map
+    once), so naive per-field summing would double-count the dominant
+    buffers.
+    """
+    batches, _ = prepared
+    seen: set = set()
+    total = 0
+    for b in batches:
+        if isinstance(b, tuple):
+            g, gt = b
+            arrs = [getattr(g, s) for s in g.__slots__
+                    if hasattr(getattr(g, s, None), "nbytes")] + [gt]
+        else:
+            arrs = [getattr(b, s) for s in b.__slots__]
+        for a in arrs:
+            if id(a) not in seen:
+                seen.add(id(a))
+                total += int(a.nbytes)
+    return total
+
+
 def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
           scalar_logger=None, start_params=None, geo_cache_size: int = 64,
-          resume_state: str | None = None, state_every: int = 1000):
+          resume_state: str | None = None, state_every: int = 1000,
+          geo_cache_bytes: int = 3_000_000_000):
     """Full training loop over a PatchDataset; returns trained params.
 
     dataset: gauspcc_tpu.codecs.gauspcgc.data.PatchDataset
@@ -316,6 +373,13 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     geo_cache_size: patches whose device-side geometry (maps, gt) stays
     resident between epochs — the KD partition is deterministic, so a
     revisited patch costs zero host work and zero upload.
+    geo_cache_bytes: hard byte budget for that device-resident cache.
+    The count limit alone sank the r5 retrain: 48 corpus clouds at up to
+    ~100 MB of maps/packed arrays each were all admitted under
+    --geo_cache 128 and exhausted v5e HBM by step ~40 alongside the
+    grad/Adam workspace (model/gauspcgc_r5/loop.log ResourceExhausted).
+    A cloud that does not fit simply re-uploads each epoch — correctness
+    is unaffected, only steady-state upload traffic.
     resume_state: path of a train_state.pkl written by a previous run —
     restores params, optimizer moments, step and best-val so a run
     interrupted mid-flight (device stall, crash) continues losslessly;
@@ -352,6 +416,7 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     t0 = time.time()
     ema_bpp = None
     geo_cache: dict = {}
+    geo_cache_used = 0
     val_cache: list | None = None
     try:
         while step < steps:
@@ -364,8 +429,11 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                     if prepared is None:
                         prepared = pyramid_batches_sib(xyz,
                                                        cfg.net.kernel_size)
-                        if len(geo_cache) < geo_cache_size:
+                        nb = _prepared_nbytes(prepared)
+                        if (len(geo_cache) < geo_cache_size
+                                and geo_cache_used + nb <= geo_cache_bytes):
                             geo_cache[ckey] = prepared
+                            geo_cache_used += nb
                 else:
                     xyz, prepared = dataset.sample(idx), None
                 with hb.guard("step"):

@@ -109,6 +109,59 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_allclose(back, pts, rtol=1e-5)
 
 
+def test_train_bucket_pad_invariance(monkeypatch):
+    """Capacity bucketing is pure padding: teacher-forced bits must be
+    bit-identical whatever capacity the bucket policy picks. This is
+    what makes the r5 pow2 training-bucket policy (fewer distinct shapes
+    -> fewer tunnel compiles; model/gauspcgc_r5/loop.log storm) a pure
+    compile-count optimization with no training-semantics change."""
+    rng = np.random.default_rng(11)
+    xyz = _make_cloud(rng, 2500).astype(np.int64)
+    cfg = model.NetConfig(channels=8, kernel_size=3)
+    params = model.init_params(jax.random.PRNGKey(2), cfg)
+
+    bits_a, n_a = train_lib.cloud_bits(params, cfg, xyz)
+    orig = train_lib._bucket_train
+    monkeypatch.setattr(train_lib, "_bucket_train",
+                        lambda n, minimum=256: 2 * orig(n, minimum))
+    bits_b, n_b = train_lib.cloud_bits(params, cfg, xyz)
+    assert n_a == n_b
+    np.testing.assert_allclose(bits_a, bits_b, rtol=1e-6)
+
+
+def test_geo_cache_byte_accounting():
+    """_prepared_nbytes dedupes the neighbor maps shared between adjacent
+    SibLevels (converted once in pyramid_batches_sib); the byte budget is
+    what keeps a big corpus from exhausting HBM (r5 retrain OOM)."""
+    rng = np.random.default_rng(12)
+    xyz = _make_cloud(rng, 2500).astype(np.int64)
+    prepared = train_lib.pyramid_batches_sib(xyz, 3)
+    nb = train_lib._prepared_nbytes(prepared)
+    assert nb > 0
+    naive = sum(
+        int(getattr(b, s).nbytes) for b in prepared[0] for s in b.__slots__)
+    assert nb < naive  # shared maps counted once
+    # adjacent levels actually share device buffers (child map of level d
+    # IS the parent map of level d+1)
+    if len(prepared[0]) >= 2:
+        assert prepared[0][0].c_gmapT is prepared[0][1].p_gmapT
+
+
+def test_train_zero_geo_cache_budget(tmp_path):
+    """geo_cache_bytes=0 must only disable caching, never break training."""
+    rng = np.random.default_rng(13)
+    p = str(tmp_path / "c.npy")
+    np.save(p, _make_cloud(rng, 3000))
+    cfg = train_lib.TrainConfig(
+        channels=8, kernel_size=3, max_steps=2, val_interval=100,
+        model_dir=str(tmp_path / "m"), lr_decay_steps=(50,))
+    ds = data.PatchDataset([p], pre_quantized=True, seed=0, max_num=2000)
+    train_lib.train(cfg, ds, None, state_every=1, geo_cache_bytes=0)
+    snap = checkpoint.load_training_checkpoint(
+        str(tmp_path / "m" / "train_state.pkl"))
+    assert snap["iteration"] == 2
+
+
 def test_full_state_resume(tmp_path):
     """train_state.pkl restores params + optimizer moments + step: a run
     interrupted mid-flight continues where it stopped (device stalls on
