@@ -354,6 +354,26 @@ def main():
     compile_cache.enable()  # one caching policy for bench + CLIs (ADVICE r4)
 
     extra: dict = {}
+    # Flagship scene-quality numbers ride along at zero device cost: the
+    # completed reference-protocol HAC run (train->encode->decode->eval,
+    # runs/soak_hac_r5) is the round's quality headline and belongs in the
+    # bench record next to the throughput axes.
+    for scene_run in ("runs/soak_hac_r5", "runs/soak_hac_r2"):
+        rj = os.path.join(os.path.dirname(__file__), scene_run,
+                          "results.json")
+        try:
+            r = json.load(open(rj))
+            extra["scene_hac"] = {
+                "run": scene_run,
+                "psnr_db": round(r["psnr"], 2),
+                "ssim": round(r["ssim"], 4),
+                "codec_delta_db": round(r.get("codec_delta_db", 0.0), 4),
+                "size_mb": round(r["size_bits"]["total"] / 8 / 2**20, 3),
+                "fps": round(r.get("fps", 0.0), 2),
+            }
+            break
+        except (OSError, ValueError, KeyError):
+            continue
     params, cfg = load_codec(extra)
     pts = _bench_cloud()
     value = bench_codec(extra, params, cfg, pts)
