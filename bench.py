@@ -25,6 +25,22 @@ import numpy as np
 
 
 
+def _force_sync(out) -> float:
+    """Real device sync: pull ONE scalar from the output.
+
+    On the tunneled `axon` backend, `block_until_ready()` returns
+    immediately (observed 2026-08-20: render/train axes timed at 0.0 ms
+    while the wall said otherwise) — execution is only provably finished
+    when a value crosses the link. A one-scalar device_get costs one RTT,
+    which callers amortize by timing a queued batch of calls.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.ravel(leaf)[0])
+
+
 def _bench_cloud():
     # anchor-like clustered cloud (~160k voxels; Mip-NeRF360 scenes land
     # in the 10^5 anchor range)
@@ -216,13 +232,16 @@ def bench_render(extra: dict) -> None:
 
     fn = jax.jit(lambda *a: raster.rasterize(*a, cfg=cfg)[0])
     img = fn(means, colors, opac, scales, rots, view, bg)
-    img.block_until_ready()
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        fn(means, colors, opac, scales, rots, view, bg).block_until_ready()
-        times.append(time.time() - t0)
-    extra["render_ms_frame"] = round(min(times) * 1e3, 1)
+    _force_sync(img)  # block_until_ready is a no-op on the tunneled
+    # backend (observed 2026-08-20: 0.0 ms/frame, runs/r5_axes.log) — a
+    # one-scalar device_get is the only real sync; amortize its RTT by
+    # timing a queued batch of frames.
+    n_frames = 4
+    t0 = time.time()
+    for _ in range(n_frames):
+        img = fn(means, colors, opac, scales, rots, view, bg)
+    _force_sync(img)
+    extra["render_ms_frame"] = round((time.time() - t0) / n_frames * 1e3, 1)
 
 
 def bench_train_iter(extra: dict) -> None:
@@ -256,13 +275,15 @@ def bench_train_iter(extra: dict) -> None:
     step = hac_train.make_train_step(cfg, rcfg, optimizer, opt)
     key = jax.random.PRNGKey(3)
     out = step(params, rest, opt_state, stats, cam, key, phase=2)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(3):
-        t0 = time.time()
+    _force_sync(out)  # see bench_render: block_until_ready no-ops over
+    # the tunnel; sync through a one-scalar device_get
+    n_iters = 4
+    t0 = time.time()
+    for _ in range(n_iters):
         out = step(params, rest, opt_state, stats, cam, key, phase=2)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
+    _force_sync(out)
+    elapsed = time.time() - t0
+    times = [elapsed / n_iters]
     extra["train_ms_iter"] = round(min(times) * 1e3, 1)
     extra["train_scene"] = "synthetic 512x512, 20k anchors, phase 2"
 
