@@ -417,7 +417,6 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
     ema_bpp = None
     geo_cache: dict = {}
     geo_cache_used = 0
-    val_cache: list | None = None
     try:
         while step < steps:
             for idx in dataset.epoch_order():
@@ -466,14 +465,17 @@ def train(cfg: TrainConfig, dataset, val_dataset=None, max_steps=None,
                         })
                 if val_dataset is not None and step % cfg.val_interval == 0:
                     with hb.guard("val"):
-                        if val_cache is None:
-                            val_cache = [
-                                pyramid_batches_sib(val_dataset.get(vi),
-                                                    cfg.net.kernel_size)
-                                for vi in range(len(val_dataset))
-                            ]
+                        # Stream the val set one cloud at a time: a cached
+                        # list of device pyramids (~8 clouds of maps+words)
+                        # stayed resident next to the train geo cache and
+                        # tipped v5e HBM on the first post-val train step
+                        # (r5b retrain, 22:48Z: RESOURCE_EXHAUSTED at step
+                        # 101). Host prep is re-paid per val, device peak is
+                        # one cloud.
                         vb, vn = None, 0
-                        for batches, n in val_cache:
+                        for vi in range(len(val_dataset)):
+                            batches, n = pyramid_batches_sib(
+                                val_dataset.get(vi), cfg.net.kernel_size)
                             for lv in batches:
                                 b = _batch_bits(params, cfg.net, lv)
                                 vb = b if vb is None else vb + b
