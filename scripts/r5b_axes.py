@@ -72,12 +72,24 @@ def main():
         codec.compress_point_cloud(pts, params, tmp, config=cfg)
         bench.bench_codec_profile(extra, params, cfg, tmp)
 
+    # batch goes LAST: it pays fresh compiles for the merged-pyramid
+    # shapes and overran its slot in the 23:47 pass — an external kill
+    # there must not cost the axes measured before it.
     axes = [
         ("render", lambda: bench.bench_render(extra)),
         ("train", lambda: bench.bench_train_iter(extra)),
-        ("batch", lambda: bench.bench_codec_batch(extra, params, cfg)),
         ("profile", axis_profile),
+        ("batch", lambda: bench.bench_codec_batch(extra, params, cfg)),
     ]
+
+    def emit():
+        # append after EVERY axis: the 23:47 pass wrote only at the end
+        # and a timeout mid-batch erased the render/train measurements
+        extra["axes_measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                  time.gmtime())
+        with open(PREVIEW, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
     for name, fn in axes:
         left = budget - (time.time() - t_start)
         if left < 60:
@@ -89,12 +101,10 @@ def main():
         except Exception as e:
             extra[f"{name}_error"] = repr(e)[:200]
         extra[f"{name}_wall_s"] = round(time.time() - t0, 1)
+        emit()
         print(f"axis {name} done in {extra[f'{name}_wall_s']}s", flush=True)
 
-    extra["axes_measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                              time.gmtime())
-    with open(PREVIEW, "a") as fh:
-        fh.write(json.dumps(rec) + "\n")
+    emit()
     print(json.dumps(rec), flush=True)
 
 
